@@ -1,0 +1,278 @@
+"""Mesh containers and core mesh ops.
+
+TPU-native analog of the reference's mesh layer (splashsurf_lib/src/mesh.rs):
+struct-of-arrays containers plus vectorized ops (area-weighted vertex normals
+via segment_sum instead of per-vertex accumulation loops, mesh.rs:848-952).
+
+Variable-size results (connectivity, manifold checks) are produced with
+sort/segment primitives; heavy topological edits live in
+:mod:`splashsurf_tpu.postprocess`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class TriMesh3d:
+    """A triangle surface mesh: vertices (V, 3) float, triangles (T, 3) int32.
+
+    Reference: ``TriMesh3d`` (mesh.rs:188-193).
+    """
+
+    vertices: np.ndarray
+    triangles: np.ndarray
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.triangles.shape[0])
+
+    # -- ops -------------------------------------------------------------
+
+    def face_normals(self, normalized: bool = True):
+        return face_normals(self.vertices, self.triangles, normalized=normalized)
+
+    def vertex_normals(self):
+        """Area-weighted vertex normals (mesh.rs:848-952)."""
+        return vertex_normals(self.vertices, self.triangles)
+
+    def par_vertex_normals(self):
+        return self.vertex_normals()
+
+    def vertex_vertex_connectivity(self) -> List[np.ndarray]:
+        """Adjacent-vertex lists per vertex (mesh.rs:290).
+
+        Returns a ragged list-of-arrays (host representation); use
+        :func:`vertex_vertex_connectivity_csr` for the array program form.
+        """
+        offsets, neighbors = vertex_vertex_connectivity_csr(
+            np.asarray(self.triangles), self.num_vertices
+        )
+        return [
+            neighbors[offsets[i] : offsets[i + 1]] for i in range(self.num_vertices)
+        ]
+
+    def keep_vertices(self, vertex_mask: np.ndarray) -> "TriMesh3d":
+        """Keep flagged vertices and all triangles whose vertices survive."""
+        vertex_mask = np.asarray(vertex_mask, dtype=bool)
+        new_index = np.cumsum(vertex_mask) - 1
+        tris = np.asarray(self.triangles)
+        tri_keep = vertex_mask[tris].all(axis=1)
+        return TriMesh3d(
+            vertices=np.asarray(self.vertices)[vertex_mask],
+            triangles=new_index[tris[tri_keep]].astype(np.int32),
+        )
+
+    def keep_cells(self, cell_indices: np.ndarray) -> "TriMesh3d":
+        """Keep the given triangles and drop unreferenced vertices (mesh.rs:269-372)."""
+        tris = np.asarray(self.triangles)[np.asarray(cell_indices)]
+        used = np.zeros(self.num_vertices, dtype=bool)
+        used[tris.ravel()] = True
+        new_index = np.cumsum(used) - 1
+        return TriMesh3d(
+            vertices=np.asarray(self.vertices)[used],
+            triangles=new_index[tris].astype(np.int32),
+        )
+
+    def par_clamp_with_aabb(
+        self, aabb, clamp_vertices: bool = True, keep_triangles: bool = False
+    ) -> "TriMesh3d":
+        """Remove (or clamp) geometry outside an AABB (mesh.rs:334)."""
+        verts = np.asarray(self.vertices)
+        inside = np.all(
+            (verts >= np.asarray(aabb.min, dtype=verts.dtype))
+            & (verts <= np.asarray(aabb.max, dtype=verts.dtype)),
+            axis=1,
+        )
+        if keep_triangles:
+            return self
+        return self.keep_vertices(inside)
+
+
+@dataclasses.dataclass
+class MixedTriQuadMesh3d:
+    """Mesh with both triangle and quad cells (mesh.rs:232)."""
+
+    vertices: np.ndarray
+    triangles: np.ndarray  # (T, 3) int32
+    quads: np.ndarray  # (Q, 4) int32
+
+
+@dataclasses.dataclass
+class MeshAttribute:
+    """A named per-vertex (or per-cell) attribute (mesh.rs:162-184)."""
+
+    name: str
+    data: np.ndarray  # (V,) scalar or (V, 3) vector
+
+
+@dataclasses.dataclass
+class MeshWithData:
+    """A mesh bundled with named point/cell attributes (mesh.rs:1227)."""
+
+    mesh: Union[TriMesh3d, MixedTriQuadMesh3d]
+    point_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
+    cell_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# vectorized mesh ops (jittable)
+# ---------------------------------------------------------------------------
+
+
+def face_normals(vertices, triangles, normalized: bool = True):
+    """Per-triangle normals: (T, 3)."""
+    vertices = jnp.asarray(vertices)
+    triangles = jnp.asarray(triangles)
+    a = vertices[triangles[:, 0]]
+    b = vertices[triangles[:, 1]]
+    c = vertices[triangles[:, 2]]
+    n = jnp.cross(b - a, c - a)
+    if normalized:
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.where(norm > 0, norm, 1.0)
+    return n
+
+
+def vertex_normals(vertices, triangles):
+    """Area-weighted vertex normals via scatter-add over triangle corners.
+
+    The unnormalized cross product carries twice the triangle area, so summing
+    it per incident vertex gives area weighting for free (mesh.rs:848-952).
+    """
+    vertices = jnp.asarray(vertices)
+    triangles = jnp.asarray(triangles)
+    fn = face_normals(vertices, triangles, normalized=False)
+    out = jnp.zeros_like(vertices)
+    for corner in range(3):
+        out = out.at[triangles[:, corner]].add(fn)
+    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+    return out / jnp.where(norm > 0, norm, 1.0)
+
+
+def triangle_areas(vertices, triangles):
+    n = face_normals(vertices, triangles, normalized=False)
+    return 0.5 * jnp.linalg.norm(n, axis=-1)
+
+
+def vertex_vertex_connectivity_csr(triangles: np.ndarray, num_vertices: int):
+    """CSR vertex adjacency from the triangle list (host, numpy).
+
+    Returns (offsets (V+1,), neighbors (E,)) with duplicate edges removed.
+    """
+    tris = np.asarray(triangles, dtype=np.int64)
+    # Each triangle contributes 6 directed edges.
+    src = np.concatenate(
+        [tris[:, 0], tris[:, 1], tris[:, 1], tris[:, 2], tris[:, 2], tris[:, 0]]
+    )
+    dst = np.concatenate(
+        [tris[:, 1], tris[:, 0], tris[:, 2], tris[:, 1], tris[:, 0], tris[:, 2]]
+    )
+    key = src * num_vertices + dst
+    key = np.unique(key)
+    src_u = key // num_vertices
+    dst_u = (key % num_vertices).astype(np.int32)
+    counts = np.bincount(src_u, minlength=num_vertices)
+    offsets = np.zeros(num_vertices + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, dst_u
+
+
+def edge_information(triangles: np.ndarray):
+    """Unique undirected edges and their incident-triangle counts (host).
+
+    Returns (edges (E, 2) int64 sorted pairs, counts (E,) int64). Reference:
+    ``compute_edge_information`` (mesh.rs:955-1092).
+    """
+    tris = np.asarray(triangles, dtype=np.int64)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
+    e.sort(axis=1)
+    edges, counts = np.unique(e, axis=0, return_counts=True)
+    return edges, counts
+
+
+def check_mesh_consistency(
+    vertices,
+    triangles,
+    check_closedness: bool = True,
+    check_manifoldness: bool = True,
+    debug: bool = False,
+) -> Optional[str]:
+    """Check that the mesh is closed and manifold (marching_cubes.rs:129-213).
+
+    Returns None if consistent, else a human-readable error string.
+    Closed + manifold here means: every edge is shared by exactly two
+    triangles, and no vertex link is broken (we check edge criterion and
+    degenerate triangles; full vertex-link check is in postprocess).
+    """
+    tris = np.asarray(triangles)
+    errors = []
+    if tris.size:
+        degenerate = (
+            (tris[:, 0] == tris[:, 1])
+            | (tris[:, 1] == tris[:, 2])
+            | (tris[:, 2] == tris[:, 0])
+        )
+        if degenerate.any():
+            errors.append(f"{int(degenerate.sum())} degenerate triangles")
+        edges, counts = edge_information(tris)
+        boundary = counts == 1
+        nonmanifold = counts > 2
+        if check_closedness and boundary.any():
+            errors.append(f"{int(boundary.sum())} boundary (hole) edges")
+        if check_manifoldness and nonmanifold.any():
+            errors.append(f"{int(nonmanifold.sum())} non-manifold edges")
+        if check_manifoldness:
+            nm_verts = _nonmanifold_vertices(tris, int(np.max(tris)) + 1)
+            if nm_verts:
+                errors.append(f"{nm_verts} non-manifold vertices")
+    if errors:
+        return "; ".join(errors)
+    return None
+
+
+def _nonmanifold_vertices(tris: np.ndarray, num_vertices: int) -> int:
+    """Count vertices whose incident triangle fan is not a single cycle."""
+    # For a closed manifold mesh, each vertex has equal counts of incident
+    # triangles and incident edges, and its link is a single cycle. We verify
+    # the cheap necessary condition #incident_edges == #incident_triangles
+    # plus connectivity of the link via union-find on the link edges.
+    from collections import defaultdict
+
+    incident = defaultdict(list)
+    for t_idx, (a, b, c) in enumerate(np.asarray(tris, dtype=np.int64)):
+        incident[a].append((b, c))
+        incident[b].append((c, a))
+        incident[c].append((a, b))
+    bad = 0
+    for v, link_edges in incident.items():
+        # The link of v must form one closed cycle: every link vertex appears
+        # exactly once as source and once as target.
+        srcs = [e[0] for e in link_edges]
+        dsts = [e[1] for e in link_edges]
+        if sorted(srcs) != sorted(dsts):
+            bad += 1
+            continue
+        nxt = dict(zip(srcs, dsts))
+        if len(nxt) != len(srcs):
+            bad += 1
+            continue
+        start = srcs[0]
+        seen = 1
+        cur = nxt[start]
+        while cur != start and seen <= len(srcs):
+            cur = nxt[cur]
+            seen += 1
+        if seen != len(srcs):
+            bad += 1
+    return bad

@@ -1,0 +1,108 @@
+"""Surface reconstruction orchestration.
+
+Host-side driver that mirrors the public API of the reference
+(``reconstruct_surface`` / ``SurfaceReconstruction``, lib.rs:330-473 and
+reconstruction.rs:17-194) while dispatching to fully vectorized device
+pipelines: a single dense global grid for small domains and the
+subdomain-batched pipeline for large ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from splashsurf_tpu.aabb import Aabb3d
+from splashsurf_tpu.mesh import TriMesh3d
+from splashsurf_tpu.params import Parameters, SpatialDecomposition
+from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
+
+
+@dataclasses.dataclass
+class SurfaceReconstruction:
+    """Result of a surface reconstruction (lib.rs:246-277)."""
+
+    grid: UniformGrid
+    mesh: TriMesh3d
+    subdomain_grid: Optional[UniformGrid] = None
+    particle_densities: Optional[np.ndarray] = None
+    particle_neighbors: Optional[tuple] = None  # CSR: (offsets, neighbors)
+    particle_inside_aabb: Optional[np.ndarray] = None
+
+
+def grid_for_reconstruction(
+    particle_positions,
+    particle_radius: float,
+    compact_support_radius: float,
+    cube_size: float,
+    particle_aabb: Optional[Aabb3d] = None,
+) -> UniformGrid:
+    """Construct the implicit background grid for marching cubes (lib.rs:476-516).
+
+    The particle AABB is grown by the particle radius plus the kernel
+    evaluation radius so every particle's kernel support lies inside the
+    domain, guaranteeing closed surfaces.
+    """
+    if particle_aabb is None:
+        aabb = Aabb3d.from_points(particle_positions)
+        aabb = aabb.grow_uniformly(particle_radius)
+    else:
+        aabb = particle_aabb
+    margin = kernel_extents(compact_support_radius, cube_size).kernel_evaluation_radius
+    aabb = aabb.grow_uniformly(margin)
+    return UniformGrid.from_aabb(aabb, cube_size)
+
+
+def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceReconstruction:
+    """Reconstruct a closed triangle mesh of the fluid surface.
+
+    Dispatches between the global dense pipeline and the subdomain-grid
+    pipeline depending on ``parameters.spatial_decomposition`` and the
+    auto-disable heuristic (lib.rs:422-443).
+    """
+    particle_positions = np.ascontiguousarray(
+        np.asarray(particle_positions), dtype=parameters.np_dtype
+    )
+    if particle_positions.ndim != 2 or particle_positions.shape[1] != 3:
+        raise ValueError(
+            f"particle positions must have shape (N, 3), got {particle_positions.shape}"
+        )
+
+    inside_aabb = None
+    if parameters.particle_aabb is not None:
+        mask = np.asarray(parameters.particle_aabb.contains_points(particle_positions))
+        inside_aabb = mask
+        particle_positions = particle_positions[mask]
+
+    grid = grid_for_reconstruction(
+        particle_positions,
+        parameters.particle_radius,
+        parameters.compact_support_radius,
+        parameters.cube_size,
+        parameters.particle_aabb,
+    )
+
+    decomposition = parameters.spatial_decomposition
+    if decomposition == SpatialDecomposition.UNIFORM_GRID:
+        n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
+        if parameters.grid_decomposition.auto_disable:
+            # Auto-disable decomposition if the domain is hardly larger than a
+            # single subdomain (lib.rs:422-443).
+            max_cells = max(grid.n_cells)
+            if max_cells <= 1.2 * n_sub:
+                decomposition = SpatialDecomposition.NONE
+
+    if decomposition == SpatialDecomposition.UNIFORM_GRID:
+        from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
+
+        return reconstruct_surface_subdomain_grid(
+            particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
+        )
+    else:
+        from splashsurf_tpu.global_pipeline import reconstruct_surface_global
+
+        return reconstruct_surface_global(
+            particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
+        )

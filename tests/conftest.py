@@ -1,0 +1,42 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set the platform flags before jax initializes. Real-TPU behavior is
+exercised by bench.py; unit/integration tests run fast and deterministic on
+host CPU with 8 virtual devices for sharding tests.
+"""
+
+import os
+
+# Force-set (the image's sitecustomize pre-sets JAX_PLATFORMS to the TPU
+# tunnel and imports jax, so we must also update the config below).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# f64 support is part of the API surface (the reference is generic over
+# f32/f64); enabling x64 makes dtype discipline in the library explicit.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference data directory not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
