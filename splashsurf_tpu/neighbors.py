@@ -1,0 +1,258 @@
+"""Neighborhood machinery: sort-based cell binning + masked stencil gathers.
+
+TPU-native replacement for the reference's spatial hashing
+(splashsurf_lib/src/neighborhood_search.rs): instead of hashmaps of
+cell -> particle lists, particles are sorted by their flat bin id; a bin's
+particle segment is found by binary search over the sorted bin ids, and all
+neighbor queries become fixed-shape masked gathers over the 27-bin stencil
+with a static per-bin capacity. No locks, no thread-local merges —
+everything is a pure array program.
+
+Bin size must be >= the query radius so the 27-stencil covers the ball.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splashsurf_tpu import kernels
+
+
+@dataclasses.dataclass(frozen=True)
+class BinGrid:
+    """Uniform binning lattice (host-static dims, hashable for jit)."""
+
+    min: Tuple[float, float, float]
+    bin_size: float
+    dims: Tuple[int, int, int]
+
+    @staticmethod
+    def for_domain(aabb_min, aabb_max, bin_size: float) -> "BinGrid":
+        mn = np.asarray(aabb_min, dtype=np.float64) - bin_size
+        mx = np.asarray(aabb_max, dtype=np.float64) + bin_size
+        dims = np.maximum(np.ceil((mx - mn) / bin_size).astype(np.int64), 1)
+        total = int(dims[0]) * int(dims[1]) * int(dims[2])
+        if total >= 2**31:
+            raise ValueError(
+                f"bin lattice too large for int32 flat ids: {tuple(dims)}"
+            )
+        return BinGrid(
+            min=tuple(mn.tolist()), bin_size=float(bin_size), dims=tuple(int(d) for d in dims)
+        )
+
+    def bin_ijk(self, positions):
+        x = jnp.asarray(positions)
+        mn = jnp.asarray(self.min, dtype=x.dtype)
+        ijk = jnp.floor((x - mn) / jnp.asarray(self.bin_size, x.dtype)).astype(jnp.int32)
+        return jnp.clip(ijk, 0, jnp.asarray(self.dims, jnp.int32) - 1)
+
+    def flatten(self, ijk):
+        _, dy, dz = self.dims
+        return ijk[..., 0] * (dy * dz) + ijk[..., 1] * dz + ijk[..., 2]
+
+
+class CellList(NamedTuple):
+    """Particles sorted by bin: the entire acceleration structure."""
+
+    order: jax.Array  # (N,) int32: original particle index, bin-sorted
+    sorted_bins: jax.Array  # (N,) int32: flat bin id per sorted slot
+    sorted_positions: jax.Array  # (N, 3): positions gathered in sorted order
+    bin_of_particle: jax.Array  # (N,) int32: flat bin id per original index
+
+
+_STENCIL = np.array(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def build_cell_list(positions, grid: BinGrid) -> CellList:
+    positions = jnp.asarray(positions)
+    bins = grid.flatten(grid.bin_ijk(positions))
+    order = jnp.argsort(bins).astype(jnp.int32)
+    sorted_bins = bins[order]
+    return CellList(
+        order=order,
+        sorted_bins=sorted_bins,
+        sorted_positions=positions[order],
+        bin_of_particle=bins,
+    )
+
+
+def max_bin_occupancy(cell_list: CellList) -> int:
+    """Largest particle count in any bin (host sync; sets gather capacity)."""
+    sb = cell_list.sorted_bins
+    # Run-length of equal consecutive ids in the sorted array.
+    change = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
+    counts = jnp.zeros(sb.shape[0], jnp.int32).at[seg_id].add(1)
+    return int(jnp.max(counts))
+
+
+def _stencil_segments(grid: BinGrid, cell_list: CellList, query_bin_ijk):
+    """(starts, counts) of the 27 neighbor-bin segments per query.
+
+    query_bin_ijk: (M, 3) int32. Returns starts (M, 27) int32 into the
+    sorted particle order and counts (M, 27).
+    """
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    nb = query_bin_ijk[:, None, :] + jnp.asarray(_STENCIL)[None, :, :]  # (M,27,3)
+    valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)  # (M,27)
+    nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))  # (M,27)
+    starts = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="left")
+    ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
+    counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
+    return starts.astype(jnp.int32), counts
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "capacity"))
+def gather_candidates(
+    query_positions, grid: BinGrid, cell_list: CellList, capacity: int
+):
+    """For each query point: candidate particle indices from the 27-stencil.
+
+    Returns (idx (M, 27*capacity) int32 into original particle order,
+    mask (M, 27*capacity) bool). Candidates are enumerated in canonical
+    order (stencil offset major, bin-sorted order minor) so reductions over
+    them are deterministic for a fixed particle sort.
+    """
+    q = jnp.asarray(query_positions)
+    qb = grid.bin_ijk(q)
+    starts, counts = _stencil_segments(grid, cell_list, qb)  # (M,27)
+    slot = jnp.arange(capacity, dtype=jnp.int32)  # (K,)
+    gather_pos = starts[:, :, None] + slot[None, None, :]  # (M,27,K)
+    mask = slot[None, None, :] < counts[:, :, None]
+    n = cell_list.order.shape[0]
+    gather_pos = jnp.clip(gather_pos, 0, max(n - 1, 0))
+    idx = cell_list.order[gather_pos]  # (M,27,K)
+    m27k = mask.reshape(mask.shape[0], -1)
+    return idx.reshape(idx.shape[0], -1), m27k
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "capacity"))
+def neighbor_counts_and_distsq(
+    positions, grid: BinGrid, cell_list: CellList, radius, capacity: int
+):
+    """Neighbor counts within ``radius`` per particle (excluding self)."""
+    idx, mask = gather_candidates(positions, grid, cell_list, capacity)
+    p = jnp.asarray(positions)
+    cand = p[idx]  # (N, C, 3)
+    d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+    r2 = jnp.asarray(radius, p.dtype) ** 2
+    self_mask = idx != jnp.arange(p.shape[0], dtype=jnp.int32)[:, None]
+    within = mask & self_mask & (d2 < r2)
+    return jnp.sum(within, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "capacity", "max_neighbors"))
+def neighbor_lists_padded(
+    positions,
+    grid: BinGrid,
+    cell_list: CellList,
+    radius,
+    capacity: int,
+    max_neighbors: int,
+):
+    """Fixed-width neighbor lists: (N, max_neighbors) int32, -1 padded.
+
+    The flat-CSR analog of the reference's ``FlatNeighborhoodList``
+    (neighborhood_search.rs:233-289); use :func:`to_csr` for ragged output.
+    """
+    idx, mask = gather_candidates(positions, grid, cell_list, capacity)
+    p = jnp.asarray(positions)
+    cand = p[idx]
+    d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+    r2 = jnp.asarray(radius, p.dtype) ** 2
+    self_mask = idx != jnp.arange(p.shape[0], dtype=jnp.int32)[:, None]
+    within = mask & self_mask & (d2 < r2)
+    # Stable compaction of each row into max_neighbors slots.
+    rank = jnp.cumsum(within, axis=1) - 1
+    dest = jnp.where(within, rank, max_neighbors)
+    out = jnp.full((p.shape[0], max_neighbors), -1, dtype=jnp.int32)
+    rows = jnp.broadcast_to(
+        jnp.arange(p.shape[0], dtype=jnp.int32)[:, None], idx.shape
+    )
+    out = out.at[rows.reshape(-1), dest.reshape(-1)].set(
+        idx.reshape(-1), mode="drop"
+    )
+    counts = jnp.sum(within, axis=1).astype(jnp.int32)
+    return out, counts
+
+
+def to_csr(padded_lists: np.ndarray, counts: np.ndarray):
+    """Convert padded neighbor lists to CSR (offsets, indices) on host."""
+    counts = np.asarray(counts)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    indices = np.empty(int(offsets[-1]), dtype=np.int32)
+    padded = np.asarray(padded_lists)
+    for i in range(len(counts)):
+        indices[offsets[i] : offsets[i + 1]] = padded[i, : counts[i]]
+    return offsets, indices
+
+
+def neighborhood_search_naive(positions: np.ndarray, radius: float):
+    """O(N^2) oracle (neighborhood_search.rs:72-91), host-side."""
+    p = np.asarray(positions, dtype=np.float64)
+    d2 = np.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+    within = (d2 < radius * radius) & ~np.eye(len(p), dtype=bool)
+    return [np.nonzero(row)[0] for row in within]
+
+
+# ---------------------------------------------------------------------------
+# per-particle SPH densities
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "capacity"))
+def compute_particle_densities_binned(
+    positions,
+    grid: BinGrid,
+    cell_list: CellList,
+    compact_support_radius,
+    particle_rest_mass,
+    capacity: int,
+):
+    """SPH density per particle: rho_i = m * sum_j W(|x_j - x_i|).
+
+    The candidate set includes the particle itself, which contributes the
+    reference's explicit self-term W(0) (density_map.rs:169-185).
+    """
+    p = jnp.asarray(positions)
+    idx, mask = gather_candidates(p, grid, cell_list, capacity)
+    cand = p[idx]
+    d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+    h = jnp.asarray(compact_support_radius, p.dtype)
+    w = kernels.cubic_kernel(jnp.sqrt(d2), h)
+    w = jnp.where(mask, w, 0)
+    return jnp.asarray(particle_rest_mass, p.dtype) * jnp.sum(w, axis=1)
+
+
+def compute_particle_densities(
+    positions,
+    compact_support_radius: float,
+    particle_rest_mass: float,
+    capacity: int | None = None,
+):
+    """Convenience wrapper: builds the binning and picks capacity on host."""
+    positions = jnp.asarray(positions)
+    mn = np.asarray(jnp.min(positions, axis=0))
+    mx = np.asarray(jnp.max(positions, axis=0))
+    grid = BinGrid.for_domain(mn, mx, compact_support_radius)
+    cl = build_cell_list(positions, grid)
+    if capacity is None:
+        capacity = _round_up(max_bin_occupancy(cl))
+    return compute_particle_densities_binned(
+        positions, grid, cl, compact_support_radius, particle_rest_mass, capacity
+    )
+
+
+def _round_up(n: int, m: int = 8) -> int:
+    return ((max(int(n), 1) + m - 1) // m) * m

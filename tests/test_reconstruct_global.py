@@ -1,0 +1,123 @@
+"""End-to-end global-path reconstruction tests on reference fixtures
+(mirrors test_full.rs / test_simple.rs) plus splat-path equivalence."""
+
+import numpy as np
+import pytest
+
+import splashsurf_tpu as st
+from splashsurf_tpu import density as D
+from splashsurf_tpu.aabb import Aabb3d
+from splashsurf_tpu.io.vtk import particles_from_vtk
+from splashsurf_tpu.mesh import check_mesh_consistency
+from splashsurf_tpu.params import SpatialDecomposition
+from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
+
+
+def _global_params(radius, rel_support, rel_cube, threshold=0.6):
+    return st.Parameters.new_relative(
+        radius,
+        rel_support,
+        rel_cube,
+        iso_surface_threshold=threshold,
+        spatial_decomposition=SpatialDecomposition.NONE,
+    )
+
+
+class TestSplatEquivalence:
+    def test_raster_matches_scatter(self, rng):
+        pts = rng.uniform(0.1, 0.9, (1500, 3)).astype(np.float32)
+        vals = rng.uniform(0.5, 2.0, (1500,)).astype(np.float32)
+        support = 0.1
+        grid = UniformGrid.from_aabb(Aabb3d((-0.1,) * 3, (1.1,) * 3), 0.0375)
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+        ref = np.asarray(
+            D.splat_level_set_scatter(pts, vals, grid, support, hsc)
+        )
+        out, n_over = D.splat_level_set(
+            pts, vals, grid, support, hsc, slots=4, overflow_capacity=4096
+        )
+        assert int(n_over) == 0
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
+
+    def test_overflow_path_matches(self, rng):
+        pts = rng.uniform(0.1, 0.9, (800, 3)).astype(np.float32)
+        vals = np.ones(800, np.float32)
+        support = 0.1
+        grid = UniformGrid.from_aabb(Aabb3d((-0.1,) * 3, (1.1,) * 3), 0.0375)
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+        ref = np.asarray(
+            D.splat_level_set_scatter(pts, vals, grid, support, hsc)
+        )
+        out, n_over = D.splat_level_set(
+            pts, vals, grid, support, hsc, slots=1, overflow_capacity=2048
+        )
+        assert 0 < int(n_over) <= 2048  # slots=1 must overflow on this cloud
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
+
+
+class TestSimpleCases:
+    def test_single_particle_octahedron(self):
+        # One particle; choose the cube size so exactly one grid point lies
+        # above the threshold -> the surface is the 6-vertex/8-triangle
+        # octahedron (reference: test_simple.rs:70-126 asserts 6/8).
+        params = _global_params(0.025, 4.0, 1.5)
+        rec = st.reconstruct_surface(
+            np.array([[0.0, 0.0, 0.0]], np.float32), params
+        )
+        assert rec.mesh.num_vertices == 6
+        assert rec.mesh.num_triangles == 8
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+    def test_single_particle_off_grid_alignment(self):
+        # The reference stresses a particle whose support crosses into "no
+        # data" territory; the mesh must still be closed.
+        params = _global_params(0.025, 4.0, 0.8)
+        rec = st.reconstruct_surface(
+            np.array([[0.0131, 0.0071, -0.0023]], np.float32), params
+        )
+        assert rec.mesh.num_triangles >= 8
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+    def test_cube_8_particles(self, data_dir):
+        pts, _ = particles_from_vtk(f"{data_dir}/cube_8_particles.vtk")
+        params = _global_params(0.25, 4.0, 0.5)
+        rec = st.reconstruct_surface(pts, params)
+        assert rec.mesh.num_triangles > 50
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+        # The mesh must enclose all particles (closed surface around them).
+        assert rec.mesh.vertices.min() < pts.min()
+        assert rec.mesh.vertices.max() > pts.max()
+
+
+class TestDamBreak:
+    @pytest.fixture(scope="class")
+    def reconstruction(self, data_dir):
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        params = _global_params(0.025, 4.0, 1.1)
+        return pts, st.reconstruct_surface(pts, params)
+
+    def test_triangle_band(self, reconstruction):
+        _, rec = reconstruction
+        # Band chosen like the reference's per-dataset bands (test_full.rs).
+        assert 50_000 < rec.mesh.num_triangles < 85_000
+
+    def test_closed_manifold(self, reconstruction):
+        _, rec = reconstruction
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+    def test_densities_near_rest_in_bulk(self, reconstruction):
+        pts, rec = reconstruction
+        rho = rec.particle_densities
+        assert rho.shape == (len(pts),)
+        # Bulk particles should sit near the rest density of 1000 (this frame
+        # is mid-splash, so the median sits below rest).
+        assert 700 < np.median(rho) < 1300
+        assert 950 < rho.max() < 1500  # densest packing near rest density
+        assert rho.min() > 100  # isolated particles still have self-term
+
+    def test_mesh_encloses_particles(self, reconstruction):
+        pts, rec = reconstruction
+        assert np.all(rec.mesh.vertices.min(axis=0) <= pts.min(axis=0))
+        assert np.all(rec.mesh.vertices.max(axis=0) >= pts.max(axis=0))
