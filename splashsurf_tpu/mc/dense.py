@@ -86,13 +86,19 @@ def _case_indices(inside):
     return case
 
 
-def _edge_vertices(values, iso, grid_min, cell_size, inside):
+def _edge_vertices(values, iso, grid_min, cell_size, inside, index_offset=None):
     """Active-edge masks, interpolated vertex positions, per axis.
 
     Returns (mask (E,), positions (E, 3)) flattened in x,y,z edge order.
+    ``index_offset`` (3,) int shifts local point indices to global ones so
+    subdomains compute bit-identical shared-vertex coordinates
+    (dense_subdomains.rs:817-826 analog).
     """
     nx, ny, nz = values.shape
     dtype = values.dtype
+    if index_offset is None:
+        index_offset = jnp.zeros((3,), jnp.int32)
+    index_offset = jnp.asarray(index_offset, jnp.int32)
     masks = []
     positions = []
     for a in range(3):
@@ -106,12 +112,10 @@ def _edge_vertices(values, iso, grid_min, cell_size, inside):
         t = jnp.clip(t, 0.0, 1.0)
         shape = v0.shape
         base = jnp.stack(
-            jnp.meshgrid(
-                jnp.arange(shape[0]),
-                jnp.arange(shape[1]),
-                jnp.arange(shape[2]),
-                indexing="ij",
-            ),
+            [
+                jax.lax.broadcasted_iota(jnp.int32, shape, d) + index_offset[d]
+                for d in range(3)
+            ],
             axis=-1,
         ).astype(dtype)
         pos = base * jnp.asarray(cell_size, dtype)
@@ -132,10 +136,12 @@ def marching_cubes_padded(
     cell_size,
     vertex_capacity: int,
     triangle_capacity: int,
+    index_offset=None,
 ) -> MarchingCubesResult:
     """Marching cubes on a dense (nx, ny, nz) point-value grid.
 
-    ``grid_min``/``cell_size`` place the grid in space. Returns capacity-
+    ``grid_min``/``cell_size`` place the grid in space; ``index_offset``
+    shifts point indices to a global grid (for subdomains). Returns capacity-
     padded vertices/triangles plus true counts and per-vertex flat edge ids
     (used by the subdomain stitcher for global dedup keys).
     """
@@ -144,7 +150,7 @@ def marching_cubes_padded(
     inside = values >= iso
 
     # --- vertices: one per active edge ---------------------------------
-    mask, pos = _edge_vertices(values, iso, grid_min, cell_size, inside)
+    mask, pos = _edge_vertices(values, iso, grid_min, cell_size, inside, index_offset)
     vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1  # index of each active edge
     num_vertices = jnp.where(mask.shape[0] > 0, vidx[-1] + 1, 0).astype(jnp.int32)
 
@@ -213,6 +219,26 @@ def _mc_counts(values, iso):
     case = _case_indices(inside)
     n_tris = jnp.sum(jnp.asarray(lut.TRI_COUNT, dtype=jnp.int32)[case])
     return jnp.sum(mask.astype(jnp.int32)), n_tris
+
+
+def decode_edge_flat(edge_flat, n_points: Tuple[int, int, int]):
+    """Decode flat edge ids into (axis, base point ijk).
+
+    Inverse of the x,y,z-concatenated edge layout. Returns (axis (...,),
+    ijk (..., 3)) as int32; invalid ids (< 0) decode to axis 0, ijk 0.
+    """
+    shapes, strides, offsets, _total = edge_layout(n_points)
+    edge_flat = jnp.asarray(edge_flat)
+    safe = jnp.maximum(edge_flat, 0)
+    axis = jnp.where(
+        safe >= offsets[2], 2, jnp.where(safe >= offsets[1], 1, 0)
+    ).astype(jnp.int32)
+    local = safe - jnp.asarray(offsets)[axis]
+    s = jnp.asarray(strides)[axis]  # (..., 3)
+    i = local // s[..., 0]
+    j = (local % s[..., 0]) // s[..., 1]
+    k = local % s[..., 1]
+    return axis, jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
 
 
 def _round_capacity(n: int) -> int:

@@ -69,6 +69,8 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
         raise ValueError(
             f"particle positions must have shape (N, 3), got {particle_positions.shape}"
         )
+    if particle_positions.shape[0] == 0:
+        raise ValueError("cannot reconstruct a surface from zero particles")
 
     inside_aabb = None
     if parameters.particle_aabb is not None:
@@ -101,6 +103,12 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
             particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
         )
     else:
+        if grid.total_cells > 128_000_000:
+            raise ValueError(
+                f"global reconstruction would materialize a dense "
+                f"{grid.n_cells} grid ({grid.total_cells} cells); use "
+                f"SpatialDecomposition.UNIFORM_GRID for domains this large"
+            )
         from splashsurf_tpu.global_pipeline import reconstruct_surface_global
 
         return reconstruct_surface_global(

@@ -1,0 +1,646 @@
+"""Subdomain-grid reconstruction: the scalable, batched pipeline.
+
+TPU-native rework of the reference's domain decomposition
+(splashsurf_lib/src/dense_subdomains.rs): the global marching cubes grid is
+tiled into cubic subdomains of ``n_sub``^3 cells; only subdomains containing
+particles (including ghost-margin particles) are materialized, as a batch
+axis of dense (n_sub+1)^3 level-set blocks.
+
+Key departures from the reference design, chosen for the TPU:
+
+  - Ghost classification, particle list construction and slotting are sort/
+    compaction array programs, not hashmaps + mutexes (ref :349-494).
+  - Per-particle densities are computed *globally* once (sorted binning)
+    instead of per-subdomain with ghost duplication (ref :496-646) — no
+    mutex-guarded scatter, no discarded ghost values.
+  - Instead of relying on bit-identical replicated computation at subdomain
+    boundaries (ref :476-488), a *canonical halo overwrite* pass makes every
+    shared boundary point take the value computed by the smallest covering
+    subdomain id. Consistency across subdomains holds by construction, which
+    frees the splat stage to use different algorithms per occupancy bucket.
+  - Stitching is a host-side sort-unique over global edge keys instead of a
+    hashmap dedup (ref :1603-1749).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splashsurf_tpu import density as density_mod
+from splashsurf_tpu import kernels
+from splashsurf_tpu import mc
+from splashsurf_tpu import neighbors
+from splashsurf_tpu.mc import dense as mc_dense
+from splashsurf_tpu.mesh import TriMesh3d
+from splashsurf_tpu.params import Parameters
+from splashsurf_tpu.reconstruction import SurfaceReconstruction
+from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
+
+_INT32_MAX = np.int32(2**31 - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SubdomainGridParams:
+    """Derived decomposition parameters (dense_subdomains.rs:89-244 analog)."""
+
+    global_grid: UniformGrid  # padded so cells are a multiple of n_sub
+    subdomain_grid: UniformGrid  # one cell per subdomain
+    n_sub: int  # MC cells per subdomain per dim
+    margin_cells: int  # ghost margin in MC cells (= half supported cells)
+
+    @property
+    def num_subdomains(self) -> Tuple[int, int, int]:
+        return self.subdomain_grid.n_cells
+
+    @property
+    def points_per_dim(self) -> int:
+        return self.n_sub + 1
+
+
+def initialize_parameters(parameters: Parameters, grid: UniformGrid) -> SubdomainGridParams:
+    n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
+    ext = kernel_extents(parameters.compact_support_radius, parameters.cube_size)
+    num_sub = tuple(-(-c // n_sub) for c in grid.n_cells)
+    global_grid = UniformGrid(
+        min=grid.min,
+        cell_size=grid.cell_size,
+        n_cells=tuple(n * n_sub for n in num_sub),
+    )
+    subdomain_grid = UniformGrid(
+        min=grid.min,
+        cell_size=grid.cell_size * n_sub,
+        n_cells=num_sub,
+    )
+    return SubdomainGridParams(
+        global_grid=global_grid,
+        subdomain_grid=subdomain_grid,
+        n_sub=n_sub,
+        margin_cells=ext.half_supported_cells,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decomposition: (subdomain, particle) pair expansion with ghost margins
+# ---------------------------------------------------------------------------
+
+_OFFSETS27 = np.array(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sd", "pair_capacity")
+)
+def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
+    """Expand particles into (subdomain, particle) pairs incl. ghost margins.
+
+    Vectorized GhostMarginClassifier (dense_subdomains.rs:1751-1906): a
+    particle belongs to its own subdomain plus every neighbor whose raster
+    (margin_cells wide) contains its cell. Returns bin-sorted pairs
+    (targets (P,), particle ids (P,)) padded with INT32_MAX, plus the true
+    pair count (host must check it fits the capacity).
+    """
+    positions = jnp.asarray(positions)
+    n = positions.shape[0]
+    g = sd.global_grid
+    n_sub = sd.n_sub
+    m = sd.margin_cells
+    num_sub = jnp.asarray(sd.num_subdomains, jnp.int32)
+
+    gc = jnp.clip(
+        g.enclosing_cell(positions), 0, jnp.asarray(g.n_cells, jnp.int32) - 1
+    )
+    own = gc // n_sub
+    local = gc - own * n_sub
+
+    targets = []
+    masks = []
+    for o in _OFFSETS27:
+        cond = jnp.ones((n,), bool)
+        for d in range(3):
+            if o[d] == -1:
+                cond = cond & (local[:, d] < m)
+            elif o[d] == 1:
+                cond = cond & (local[:, d] >= n_sub - m)
+        t = own + jnp.asarray(o, jnp.int32)
+        cond = cond & jnp.all((t >= 0) & (t < num_sub), axis=-1)
+        tflat = sd.subdomain_grid.flatten_cell_index(t)
+        targets.append(jnp.where(cond, tflat, _INT32_MAX))
+        masks.append(cond)
+
+    target_all = jnp.stack(targets, axis=1).reshape(-1)  # (N*27,) particle-major
+    mask_all = jnp.stack(masks, axis=1).reshape(-1)
+    pid_all = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 27)
+
+    dest = jnp.where(mask_all, jnp.cumsum(mask_all) - 1, pair_capacity)
+    tgt_c = jnp.full((pair_capacity,), _INT32_MAX, jnp.int32).at[dest].set(
+        target_all, mode="drop"
+    )
+    pid_c = jnp.zeros((pair_capacity,), jnp.int32).at[dest].set(
+        pid_all, mode="drop"
+    )
+    tgt_s, pid_s = jax.lax.sort((tgt_c, pid_c), num_keys=2)
+    return tgt_s, pid_s, jnp.sum(mask_all).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# per-chunk level-set splat
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("sd", "hsc"))
+def chunk_levelset_scatter(
+    positions_ext,  # (N+1, 3) with far dummy last row
+    values_ext,  # (N+1,) with 0 dummy
+    plists,  # (C, K) int32 particle ids, N for padding
+    sub_ijk,  # (C, 3) int32 subdomain indices
+    sd: SubdomainGridParams,
+    compact_support_radius,
+    hsc: int,
+):
+    """Scatter-add splat for a chunk of subdomains: (C, P, P, P) level sets.
+
+    Each particle (incl. ghosts) adds v_i W(|x_g - x_i|) to the supported
+    points that fall inside its subdomain's core point range [0, n_sub]^3.
+    Out-of-range points are dropped (they belong to neighbor subdomains).
+    """
+    g = sd.global_grid
+    n_sub = sd.n_sub
+    P = sd.points_per_dim
+    dtype = positions_ext.dtype
+
+    ppos = positions_ext[plists]  # (C, K, 3)
+    pval = values_ext[plists]  # (C, K)
+    gc = g.enclosing_cell(ppos)  # (C, K, 3) int32 (global cells; ghosts ok)
+    base_local = gc - sub_ijk[:, None, :] * n_sub  # (C, K, 3)
+
+    offs = jnp.asarray(density_mod.supported_point_offsets(hsc))  # (S3, 3)
+    pts_local = base_local[:, :, None, :] + offs[None, None, :, :]  # (C,K,S3,3)
+    pts_global = pts_local + (sub_ijk[:, None, :] * n_sub)[:, :, None, :]
+    mn = jnp.asarray(g.min, dtype)
+    cs = jnp.asarray(g.cell_size, dtype)
+    coords = mn + pts_global.astype(dtype) * cs
+    d2 = jnp.sum((coords - ppos[:, :, None, :]) ** 2, axis=-1)
+    w = kernels.cubic_kernel(
+        jnp.sqrt(d2), jnp.asarray(compact_support_radius, dtype)
+    ) * pval[:, :, None]
+
+    valid = jnp.all((pts_local >= 0) & (pts_local <= n_sub), axis=-1)
+    flat = (
+        pts_local[..., 0] * (P * P) + pts_local[..., 1] * P + pts_local[..., 2]
+    )
+    C = plists.shape[0]
+    row = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+    dest = jnp.where(valid, row * (P * P * P) + flat, C * P * P * P)
+    ls = jnp.zeros((C * P * P * P,), dtype).at[dest.reshape(-1)].add(
+        w.reshape(-1), mode="drop"
+    )
+    return ls.reshape(C, P, P, P)
+
+
+@functools.partial(jax.jit, static_argnames=("sd", "hsc", "slots"))
+def chunk_levelset_raster(
+    positions_ext,
+    values_ext,
+    plists,
+    sub_ijk,
+    sd: SubdomainGridParams,
+    compact_support_radius,
+    hsc: int,
+    slots: int = 4,
+):
+    """Raster-sweep splat for dense chunks: no scatter in the hot loop.
+
+    Particles are rasterized into (C, R, R, R, slots) cell-slot arrays
+    (R = n_sub + 2*margin covers the ghost ring); the level set is then a
+    dense sweep over sphere-pruned static cell offsets. Slot overflow is
+    routed through the scatter path (correct for any occupancy).
+    Returns (level sets (C, P, P, P), overflow count).
+    """
+    g = sd.global_grid
+    n_sub = sd.n_sub
+    m = sd.margin_cells
+    P = sd.points_per_dim
+    R = n_sub + 2 * m
+    dtype = positions_ext.dtype
+    C, K = plists.shape
+
+    ppos = positions_ext[plists]  # (C, K, 3)
+    pval = values_ext[plists]
+    gc = g.enclosing_cell(ppos)
+    rc = gc - sub_ijk[:, None, :] * n_sub + m  # raster cell coords
+    in_raster = jnp.all((rc >= 0) & (rc < R), axis=-1)
+    rc = jnp.clip(rc, 0, R - 1)
+    cell_flat = jnp.where(
+        in_raster, rc[..., 0] * (R * R) + rc[..., 1] * R + rc[..., 2], R * R * R
+    )
+
+    # Slot rank via per-row sort (stable, so input order breaks ties).
+    sort_idx = jnp.argsort(cell_flat, axis=1)
+    cf_sorted = jnp.take_along_axis(cell_flat, sort_idx, axis=1)
+    start = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(cf_sorted)
+    rank = jnp.arange(K, dtype=jnp.int32)[None, :] - start.astype(jnp.int32)
+    pos_sorted = jnp.take_along_axis(ppos, sort_idx[..., None], axis=1)
+    val_sorted = jnp.take_along_axis(pval, sort_idx, axis=1)
+
+    ok = (rank < slots) & (cf_sorted < R * R * R)
+    row = jnp.arange(C, dtype=jnp.int32)[:, None]
+    dest = jnp.where(
+        ok, (row * (R * R * R) + cf_sorted) * slots + rank, C * R * R * R * slots
+    )
+    rpos = (
+        jnp.zeros((C * R * R * R * slots, 3), dtype)
+        .at[dest.reshape(-1)]
+        .set(pos_sorted.reshape(-1, 3), mode="drop")
+        .reshape(C, R, R, R, slots, 3)
+    )
+    rval = (
+        jnp.zeros((C * R * R * R * slots,), dtype)
+        .at[dest.reshape(-1)]
+        .set(val_sorted.reshape(-1), mode="drop")
+        .reshape(C, R, R, R, slots)
+    )
+
+    # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around core cells.
+    pw = ((0, 0), (1, 1), (1, 1), (1, 1))
+    rpos = jnp.pad(rpos, pw + ((0, 0), (0, 0)))
+    rval = jnp.pad(rval, pw + ((0, 0),))
+
+    offs = jnp.asarray(density_mod.gather_cell_offsets(hsc) + (m + 1))
+    mn = jnp.asarray(g.min, dtype)
+    cs = jnp.asarray(g.cell_size, dtype)
+    h = jnp.asarray(compact_support_radius, dtype)
+    zero = jnp.int32(0)
+
+    def sweep_one(rpos_s, rval_s, sijk):
+        gx = (jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0) + sijk[0] * n_sub).astype(dtype)
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1) + sijk[1] * n_sub).astype(dtype)
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2) + sijk[2] * n_sub).astype(dtype)
+        px = mn[0] + gx * cs
+        py = mn[1] + gy * cs
+        pz = mn[2] + gz * cs
+
+        def body(acc, o):
+            sp = jax.lax.dynamic_slice(rpos_s, (o[0], o[1], o[2], zero, zero), (P, P, P, slots, 3))
+            sv = jax.lax.dynamic_slice(rval_s, (o[0], o[1], o[2], zero), (P, P, P, slots))
+            dx = sp[..., 0] - px[..., None]
+            dy = sp[..., 1] - py[..., None]
+            dz = sp[..., 2] - pz[..., None]
+            d2 = dx * dx + dy * dy + dz * dz
+            w = kernels.cubic_kernel(jnp.sqrt(d2), h) * sv
+            return acc + jnp.sum(w, axis=-1), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((P, P, P), dtype), offs)
+        return out
+
+    ls = jax.vmap(sweep_one)(rpos, rval, sub_ijk)
+
+    # Overflow -> scatter path (indices of overflowing particles, else N dummy).
+    n_dummy = positions_ext.shape[0] - 1
+    pid_sorted = jnp.take_along_axis(plists, sort_idx, axis=1)
+    over = (~ok) & (cf_sorted < R * R * R) & (pid_sorted != n_dummy)
+    over_lists = jnp.where(over, pid_sorted, n_dummy)
+    ls_over = chunk_levelset_scatter(
+        positions_ext, values_ext, over_lists, sub_ijk, sd, compact_support_radius, hsc
+    )
+    return ls + ls_over, jnp.sum(over).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# canonical halo overwrite
+# ---------------------------------------------------------------------------
+
+_DIRS26 = np.array(
+    [o for o in _OFFSETS27 if not (o == 0).all()], dtype=np.int32
+)
+
+
+def _region(dir_component: int, P: int):
+    if dir_component == 1:
+        return slice(P - 1, P)
+    if dir_component == -1:
+        return slice(0, 1)
+    return slice(None)
+
+
+def _mirror(dir_component: int, P: int):
+    if dir_component == 1:
+        return slice(0, 1)
+    if dir_component == -1:
+        return slice(P - 1, P)
+    return slice(None)
+
+
+@jax.jit
+def halo_overwrite(ls, own_flat, nb_idx, nb_flat):
+    """Make shared boundary points take the min-id subdomain's value.
+
+    ls: (B, P, P, P); own_flat: (B,) subdomain flat ids; nb_idx: (26, B)
+    batch index of each neighbor (0 if absent); nb_flat: (26, B) neighbor
+    flat id (INT32_MAX if absent). After this pass, every grid point shared
+    by multiple subdomains holds the identical value in all of them —
+    consistency by construction, independent of how each block was splatted.
+    """
+    P = ls.shape[1]
+    out = ls
+    best = jnp.broadcast_to(
+        own_flat[:, None, None, None], ls.shape
+    ).astype(jnp.int32)
+    for d, o in enumerate(_DIRS26):
+        reg_s = (slice(None),) + tuple(_region(int(c), P) for c in o)
+        reg_t = (slice(None),) + tuple(_mirror(int(c), P) for c in o)
+        cand_val = jnp.take(ls[reg_t], nb_idx[d], axis=0)
+        cand_flat = nb_flat[d][:, None, None, None]
+        take = cand_flat < best[reg_s]
+        out = out.at[reg_s].set(jnp.where(take, cand_val, out[reg_s]))
+        best = best.at[reg_s].set(jnp.where(take, cand_flat, best[reg_s]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batched marching cubes + global edge keys
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("sd",))
+def chunk_mc_counts(ls, sd: SubdomainGridParams, iso):
+    def one(v):
+        inside = v >= iso
+        m, _ = mc_dense._edge_vertices(v, iso, jnp.zeros(3, v.dtype), 1.0, inside)
+        case = mc_dense._case_indices(inside)
+        nt = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
+        return jnp.sum(m.astype(jnp.int32)), nt
+
+    return jax.vmap(one)(ls)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sd", "vertex_capacity", "triangle_capacity")
+)
+def chunk_mc(
+    ls,
+    sub_ijk,
+    sd: SubdomainGridParams,
+    iso,
+    vertex_capacity: int,
+    triangle_capacity: int,
+):
+    """Batched MC over a chunk. Returns per-subdomain padded results plus
+    global edge identifiers (axis, global base-point ijk) per vertex."""
+    g = sd.global_grid
+    P = sd.points_per_dim
+    mn = jnp.asarray(g.min)
+    cs = g.cell_size
+
+    def one(v, sijk):
+        res = mc_dense.marching_cubes_padded(
+            v,
+            iso,
+            mn.astype(v.dtype),
+            cs,
+            vertex_capacity=vertex_capacity,
+            triangle_capacity=triangle_capacity,
+            index_offset=sijk * sd.n_sub,
+        )
+        axis, ijk = mc_dense.decode_edge_flat(res.vertex_edges, (P, P, P))
+        gijk = ijk + (sijk * sd.n_sub)[None, :]
+        valid = res.vertex_edges >= 0
+        axis = jnp.where(valid, axis, -1)
+        return res.vertices, res.triangles, res.num_vertices, res.num_triangles, axis, gijk
+
+    return jax.vmap(one)(ls, sub_ijk)
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _pow2_at_least(n: int, lo: int = 16) -> int:
+    return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def reconstruct_surface_subdomain_grid(
+    positions,
+    parameters: Parameters,
+    grid: UniformGrid,
+    particle_inside_aabb: Optional[np.ndarray] = None,
+    chunk_size: int = 32,
+    raster_threshold: int = 8192,
+) -> SurfaceReconstruction:
+    positions = jnp.asarray(positions)
+    n = positions.shape[0]
+    sd = initialize_parameters(parameters, grid)
+    support = parameters.compact_support_radius
+    hsc = sd.margin_cells
+    iso = parameters.iso_surface_threshold
+    dtype = positions.dtype
+
+    # 1. global per-particle densities
+    rho = neighbors.compute_particle_densities(
+        positions, support, parameters.particle_rest_mass
+    )
+    values = jnp.asarray(parameters.particle_rest_mass, dtype) / rho
+
+    # dummy row for padded gathers
+    positions_ext = jnp.concatenate(
+        [positions, jnp.full((1, 3), 1e30, dtype)], axis=0
+    )
+    values_ext = jnp.concatenate([values, jnp.zeros((1,), dtype)])
+
+    # 2. decomposition into (subdomain, particle) pairs
+    pair_capacity = _pow2_at_least(int(n * 2) + 64)
+    while True:
+        tgt_s, pid_s, n_pairs = decompose(positions, sd, pair_capacity)
+        n_pairs = int(n_pairs)
+        if n_pairs <= pair_capacity:
+            break
+        pair_capacity = _pow2_at_least(n_pairs)
+    tgt_np = np.asarray(tgt_s[:n_pairs])
+    occ_ids, occ_starts, occ_counts = _segments(tgt_np)
+    B = len(occ_ids)
+    if B == 0:
+        empty = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return SurfaceReconstruction(grid=sd.global_grid, mesh=empty)
+
+    # 3. per-subdomain level sets, chunked by capacity bucket
+    P = sd.points_per_dim
+    order = np.argsort(occ_counts, kind="stable")  # group similar sizes
+    ls_parts: List[jax.Array] = []
+    part_rows: List[np.ndarray] = []
+    sub_ijk_all = np.stack(
+        [
+            occ_ids // (sd.num_subdomains[1] * sd.num_subdomains[2]),
+            (occ_ids // sd.num_subdomains[2]) % sd.num_subdomains[1],
+            occ_ids % sd.num_subdomains[2],
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+    starts_d = jnp.asarray(occ_starts)
+    i = 0
+    while i < B:
+        j = min(i + chunk_size, B)
+        rows = order[i:j]
+        K = _pow2_at_least(int(occ_counts[rows].max()), lo=32)
+        C = len(rows)
+        if C < chunk_size:
+            rows = np.concatenate([rows, np.full(chunk_size - C, rows[-1])])
+        # gather particle lists on device
+        plists = _gather_plists(
+            pid_s, starts_d, jnp.asarray(occ_counts), jnp.asarray(rows), K, n
+        )
+        sub_ijk = jnp.asarray(sub_ijk_all[rows])
+        if K <= raster_threshold:
+            ls = chunk_levelset_scatter(
+                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+            )
+        else:
+            ls, _n_over = chunk_levelset_raster(
+                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+            )
+        ls_parts.append(ls[: j - i])
+        part_rows.append(order[i:j])
+        i = j
+
+    # reorder back to occ order
+    ls_all = jnp.concatenate(ls_parts, axis=0)
+    inv = np.empty(B, np.int64)
+    inv[np.concatenate(part_rows)] = np.arange(B)
+    ls_all = ls_all[jnp.asarray(inv)]
+
+    # 4. canonical halo overwrite
+    nb_idx, nb_flat = _neighbor_tables(occ_ids, sub_ijk_all, sd)
+    ls_all = halo_overwrite(
+        ls_all, jnp.asarray(occ_ids.astype(np.int32)), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
+    )
+
+    # 5. batched marching cubes, chunked with capacity buckets
+    nv_all, nt_all = chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
+    nv_all, nt_all = np.asarray(nv_all), np.asarray(nt_all)
+
+    patches = {}  # row -> (verts, keys, tris)
+    mc_order = np.argsort(np.maximum(nv_all, nt_all), kind="stable")
+    i = 0
+    while i < B:
+        j = min(i + chunk_size, B)
+        rows = mc_order[i:j]
+        vc = _pow2_at_least(int(nv_all[rows].max()))
+        tc = _pow2_at_least(int(nt_all[rows].max()))
+        rows_p = rows
+        if len(rows) < chunk_size:
+            rows_p = np.concatenate([rows, np.full(chunk_size - len(rows), rows[-1])])
+        v, t, nv, nt, axis, gijk = chunk_mc(
+            ls_all[jnp.asarray(rows_p)],
+            jnp.asarray(sub_ijk_all[rows_p]),
+            sd,
+            jnp.asarray(iso, dtype),
+            vertex_capacity=vc,
+            triangle_capacity=tc,
+        )
+        v, t = np.asarray(v), np.asarray(t)
+        nv, nt = np.asarray(nv), np.asarray(nt)
+        axis, gijk = np.asarray(axis), np.asarray(gijk)
+        for c, row in enumerate(rows):
+            nvc, ntc = int(nv[c]), int(nt[c])
+            patches[int(row)] = (
+                v[c, :nvc],
+                _edge_keys(axis[c, :nvc], gijk[c, :nvc], sd.global_grid),
+                t[c, :ntc],
+            )
+        i = j
+
+    rows_sorted = sorted(patches.keys())
+    mesh = _stitch(
+        [patches[r][0] for r in rows_sorted],
+        [patches[r][1] for r in rows_sorted],
+        [patches[r][2] for r in rows_sorted],
+    )
+
+    return SurfaceReconstruction(
+        grid=sd.global_grid,
+        subdomain_grid=sd.subdomain_grid,
+        mesh=mesh,
+        particle_densities=np.asarray(rho),
+        particle_inside_aabb=particle_inside_aabb,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("K", "n"))
+def _gather_plists(pid_s, starts, counts, rows, K: int, n: int):
+    st = starts[rows]  # (C,)
+    ct = counts[rows]
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    pos = st[:, None] + slot
+    mask = slot < ct[:, None]
+    pos = jnp.clip(pos, 0, pid_s.shape[0] - 1)
+    return jnp.where(mask, pid_s[pos], n)
+
+
+def _segments(sorted_targets: np.ndarray):
+    ids, starts, counts = np.unique(
+        sorted_targets, return_index=True, return_counts=True
+    )
+    return ids.astype(np.int64), starts.astype(np.int64), counts.astype(np.int64)
+
+
+def _neighbor_tables(occ_ids: np.ndarray, sub_ijk: np.ndarray, sd: SubdomainGridParams):
+    """(26, B) neighbor batch indices and flat ids (INT32_MAX if absent)."""
+    ns = sd.num_subdomains
+    B = len(occ_ids)
+    nb_idx = np.zeros((26, B), np.int32)
+    nb_flat = np.full((26, B), _INT32_MAX, np.int32)
+    for d, o in enumerate(_DIRS26):
+        t = sub_ijk + o[None, :]
+        valid = np.all((t >= 0) & (t < np.asarray(ns)), axis=1)
+        tflat = (t[:, 0] * ns[1] + t[:, 1]) * ns[2] + t[:, 2]
+        pos = np.searchsorted(occ_ids, tflat)
+        pos_c = np.clip(pos, 0, B - 1)
+        present = valid & (occ_ids[pos_c] == tflat)
+        nb_idx[d] = np.where(present, pos_c, 0).astype(np.int32)
+        nb_flat[d] = np.where(present, tflat, _INT32_MAX).astype(np.int32)
+    return nb_idx, nb_flat
+
+
+def _edge_keys(axis: np.ndarray, gijk: np.ndarray, grid: UniformGrid) -> np.ndarray:
+    """Pack (axis, global base point ijk) into unique int64 edge keys."""
+    npx, npy, npz = grid.n_points
+    i = gijk[:, 0].astype(np.int64)
+    j = gijk[:, 1].astype(np.int64)
+    k = gijk[:, 2].astype(np.int64)
+    return ((i * npy + j) * npz + k) * 3 + axis.astype(np.int64)
+
+
+def _stitch(verts, keys, tris) -> TriMesh3d:
+    """Merge per-subdomain patches: sort-unique vertices by global edge key,
+    remap triangle indices (dense_subdomains.rs:1603-1749 analog).
+
+    ``verts[i]``/``keys[i]``/``tris[i]`` belong to one subdomain; triangle
+    indices are local to their patch.
+    """
+    if not verts:
+        return TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    all_verts = np.concatenate(verts, axis=0)
+    all_keys = np.concatenate(keys, axis=0)
+    offsets = np.zeros(len(verts), np.int64)
+    np.cumsum([len(v) for v in verts[:-1]], out=offsets[1:])
+    all_tris = (
+        np.concatenate(
+            [t.astype(np.int64) + o for t, o in zip(tris, offsets)], axis=0
+        )
+        if tris
+        else np.zeros((0, 3), np.int64)
+    )
+    _uniq, first_idx, inverse = np.unique(
+        all_keys, return_index=True, return_inverse=True
+    )
+    final_verts = all_verts[first_idx]
+    final_tris = inverse[all_tris].astype(np.int32)
+    return TriMesh3d(vertices=final_verts, triangles=final_tris)

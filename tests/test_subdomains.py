@@ -1,0 +1,145 @@
+"""Subdomain-grid pipeline tests (mirrors test_subdomains.rs:9-105 and the
+global-vs-decomposed equivalence the reference checks per dataset)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import splashsurf_tpu as st
+from splashsurf_tpu.global_pipeline import reconstruct_surface_global
+from splashsurf_tpu.io.vtk import particles_from_vtk
+from splashsurf_tpu.mesh import check_mesh_consistency
+from splashsurf_tpu.params import (
+    GridDecompositionParameters,
+    SpatialDecomposition,
+)
+from splashsurf_tpu.reconstruction import grid_for_reconstruction
+from splashsurf_tpu.subdomains import (
+    decompose,
+    initialize_parameters,
+    reconstruct_surface_subdomain_grid,
+)
+
+
+def _params(rel_cube=1.0, n_sub=16):
+    return st.Parameters.new_relative(
+        0.025,
+        4.0,
+        rel_cube,
+        spatial_decomposition=SpatialDecomposition.UNIFORM_GRID,
+        grid_decomposition=GridDecompositionParameters(n_sub, auto_disable=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def cube_cloud(data_dir):
+    pts, _ = particles_from_vtk(f"{data_dir}/cube_2366_particles.vtk")
+    return np.asarray(pts)
+
+
+class TestDecomposition:
+    def test_single_particle_ghost_expansion(self):
+        # A particle in the interior of one subdomain belongs only to it;
+        # near a corner it must appear in up to 8 subdomains.
+        p = _params(n_sub=16)
+        pts_center = np.array([[0.0, 0.0, 0.0]], np.float32)
+        grid = grid_for_reconstruction(pts_center, 0.025, 0.1, 0.025)
+        sd = initialize_parameters(p, grid)
+        tgt, pid, n_pairs = decompose(pts_center, sd, 64)
+        assert int(n_pairs) >= 1
+        tgt = np.asarray(tgt[: int(n_pairs)])
+        assert len(np.unique(tgt)) == int(n_pairs)  # distinct subdomains
+
+    def test_pair_count_bounded(self, cube_cloud):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        sd = initialize_parameters(p, grid)
+        tgt, pid, n_pairs = decompose(cube_cloud, sd, 1 << 17)
+        n_pairs = int(n_pairs)
+        n = len(cube_cloud)
+        assert n <= n_pairs <= 27 * n
+        # every particle appears at least once
+        assert len(np.unique(np.asarray(pid[:n_pairs]))) == n
+
+
+class TestSingleParticle:
+    @pytest.mark.parametrize("rel_cube", [0.5, 1.0, 1.5])
+    def test_closed_at_cube_sizes(self, rel_cube):
+        # test_subdomains.rs: single particle at several cube sizes stays
+        # closed and manifold through the subdomain pipeline.
+        p = _params(rel_cube=rel_cube, n_sub=8)
+        rec = st.reconstruct_surface(np.array([[0.01, -0.02, 0.03]], np.float32), p)
+        assert rec.mesh.num_triangles >= 8
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+        assert rec.subdomain_grid is not None
+
+
+class TestEquivalence:
+    def test_matches_global_path(self, cube_cloud):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        rec_s = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        rec_g = reconstruct_surface_global(cube_cloud, p, grid)
+        assert rec_s.mesh.num_vertices == rec_g.mesh.num_vertices
+        assert rec_s.mesh.num_triangles == rec_g.mesh.num_triangles
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(rec_g.mesh.vertices).query(rec_s.mesh.vertices)
+        assert d.max() < 1e-4  # the BASELINE.json vertex tolerance
+
+    def test_raster_matches_scatter_path(self, cube_cloud):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        rec_s = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        rec_r = reconstruct_surface_subdomain_grid(
+            cube_cloud, p, grid, raster_threshold=0
+        )
+        assert rec_s.mesh.num_triangles == rec_r.mesh.num_triangles
+        assert check_mesh_consistency(rec_r.mesh.vertices, rec_r.mesh.triangles) is None
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(rec_s.mesh.vertices).query(rec_r.mesh.vertices)
+        assert d.max() < 1e-5
+
+    def test_chunk_size_invariance(self, cube_cloud):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        rec_a = reconstruct_surface_subdomain_grid(cube_cloud, p, grid, chunk_size=4)
+        rec_b = reconstruct_surface_subdomain_grid(cube_cloud, p, grid, chunk_size=64)
+        assert rec_a.mesh.num_vertices == rec_b.mesh.num_vertices
+        assert rec_a.mesh.num_triangles == rec_b.mesh.num_triangles
+
+
+class TestDamBreakSubdomains:
+    def test_closed_manifold_with_decomposition(self, data_dir):
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        p = st.Parameters.new_relative(
+            0.025,
+            4.0,
+            1.1,
+            grid_decomposition=GridDecompositionParameters(32, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, p)
+        assert 50_000 < rec.mesh.num_triangles < 85_000
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+
+class TestAutoDisable:
+    def test_small_domain_disables_decomposition(self):
+        p = st.Parameters.new_relative(0.025, 4.0, 1.5)  # default: auto_disable on
+        rec = st.reconstruct_surface(np.array([[0.0, 0.0, 0.0]], np.float32), p)
+        assert rec.subdomain_grid is None  # fell back to global path
+
+    def test_global_path_guard_on_huge_grid(self):
+        p = st.Parameters.new_relative(
+            0.025,
+            4.0,
+            1.0,
+            spatial_decomposition=SpatialDecomposition.NONE,
+            particle_aabb=st.Aabb3d((-10.0,) * 3, (10.0,) * 3),
+        )
+        with pytest.raises(ValueError, match="dense"):
+            st.reconstruct_surface(np.zeros((1, 3), np.float32), p)
