@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end reconstruction benchmark on real TPU hardware.
+
+Reconstructs a synthetic dam-break-like block of jittered lattice particles
+with canyon-scale parameters (BASELINE.md: r=0.011, support=4r, cube=1.5r,
+threshold 0.6) and reports end-to-end particle throughput.
+
+Baseline: the reference's README benchmark processes 13,353,401 particles in
+2.467 s on an Apple M4 Pro == 5.41 Mparticles/s end-to-end (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPPS = 13_353_401 / 2.467 / 1e6  # 5.413 Mparticles/s (M4 Pro, Rust)
+
+
+def make_dam_break(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
+    """Jittered-lattice fluid block with ~8:3:2 aspect (dam-break-like)."""
+    rng = np.random.default_rng(seed)
+    spacing = 2.0 * radius
+    # nx:ny:nz ~ 8:3:2 with nx*ny*nz ~ n_target
+    base = (n_target / (8 * 3 * 2)) ** (1.0 / 3.0)
+    nx, ny, nz = int(8 * base), int(3 * base), int(2 * base)
+    coords = lambda n: (np.arange(n) + 0.5) * spacing
+    X, Y, Z = np.meshgrid(coords(nx), coords(ny), coords(nz), indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3).astype(np.float32)
+    pts += (rng.uniform(-0.25, 0.25, pts.shape) * spacing).astype(np.float32)
+    return pts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000, help="particle count")
+    ap.add_argument("--smoke", action="store_true", help="small fast run")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--profile", action="store_true", help="print stage timings")
+    args = ap.parse_args()
+    if args.smoke:
+        args.n = min(args.n, 100_000)
+        args.repeats = 1
+
+    import jax
+
+    import splashsurf_tpu as st
+
+    radius = 0.011
+    pts = make_dam_break(args.n, radius)
+    n = len(pts)
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    print(f"# particles: {n}", file=sys.stderr)
+
+    params = st.Parameters.new_relative(radius, 4.0, 1.5)
+
+    # Warmup (compiles every stage for this frame's shapes).
+    t0 = time.perf_counter()
+    rec = st.reconstruct_surface(pts, params)
+    warm = time.perf_counter() - t0
+    print(
+        f"# warmup (incl. compile): {warm:.2f}s; mesh: "
+        f"{rec.mesh.num_vertices} verts / {rec.mesh.num_triangles} tris",
+        file=sys.stderr,
+    )
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        rec = st.reconstruct_surface(pts, params)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mpps = n / best / 1e6
+    print(f"# frame times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_reconstruction_throughput",
+                "value": round(mpps, 3),
+                "unit": "Mparticles/s",
+                "vs_baseline": round(mpps / BASELINE_MPPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

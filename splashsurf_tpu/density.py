@@ -171,20 +171,30 @@ def splat_level_set_scatter(
     total_points = npts[0] * npts[1] * npts[2]
 
     cell = grid.enclosing_cell(positions)  # may be out of grid for ghosts
-    offs = jnp.asarray(supported_point_offsets(hsc))  # (S3, 3)
-    pts = cell[:, None, :] + offs[None, :, :]  # (N, S3, 3)
-    coords = grid.point_coordinates(pts, dtype=dtype)
-    d2 = jnp.sum((coords - positions[:, None, :]) ** 2, axis=-1)
-    w = kernels.cubic_kernel(
-        jnp.sqrt(d2), jnp.asarray(compact_support_radius, dtype)
-    ) * values[:, None]
+    h = jnp.asarray(compact_support_radius, dtype)
 
-    in_grid = jnp.all(
-        (pts >= 0) & (pts < jnp.asarray(npts, jnp.int32)), axis=-1
+    # Stream over offset blocks: peak memory O(N * block), not O(N * S^3).
+    offs_np = supported_point_offsets(hsc)
+    block = 16
+    pad = (-len(offs_np)) % block
+    offs_np = np.concatenate(
+        [offs_np, np.full((pad, 3), -(10 * (hsc + 2)), np.int32)]
     )
-    flat = jnp.where(in_grid, grid.flatten_point_index(pts), total_points)
-    out = jnp.zeros((total_points,), dtype).at[flat.reshape(-1)].add(
-        w.reshape(-1), mode="drop"
+    offs_blocks = jnp.asarray(offs_np.reshape(-1, block, 3))
+
+    def body(out, offs):
+        pts = cell[:, None, :] + offs[None, :, :]  # (N, b, 3)
+        coords = grid.point_coordinates(pts, dtype=dtype)
+        d2 = jnp.sum((coords - positions[:, None, :]) ** 2, axis=-1)
+        w = kernels.cubic_kernel(jnp.sqrt(d2), h) * values[:, None]
+        in_grid = jnp.all(
+            (pts >= 0) & (pts < jnp.asarray(npts, jnp.int32)), axis=-1
+        )
+        flat = jnp.where(in_grid, grid.flatten_point_index(pts), total_points)
+        return out.at[flat.reshape(-1)].add(w.reshape(-1), mode="drop"), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((total_points,), dtype), offs_blocks
     )
     return out.reshape(npts)
 

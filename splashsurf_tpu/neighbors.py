@@ -224,15 +224,36 @@ def compute_particle_densities_binned(
 
     The candidate set includes the particle itself, which contributes the
     reference's explicit self-term W(0) (density_map.rs:169-185).
+
+    Streams over the 27 stencil offsets with a scan so peak memory is
+    O(N * capacity) instead of O(N * 27 * capacity) — essential for
+    multi-million-particle frames in 16 GB HBM.
     """
     p = jnp.asarray(positions)
-    idx, mask = gather_candidates(p, grid, cell_list, capacity)
-    cand = p[idx]
-    d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+    qb = grid.bin_ijk(p)
     h = jnp.asarray(compact_support_radius, p.dtype)
-    w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-    w = jnp.where(mask, w, 0)
-    return jnp.asarray(particle_rest_mass, p.dtype) * jnp.sum(w, axis=1)
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    n = p.shape[0]
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+
+    def body(acc, offset):
+        nb = qb + offset[None, :]
+        valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+        nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))
+        starts = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="left")
+        ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
+        counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
+        gather_pos = jnp.clip(
+            starts.astype(jnp.int32)[:, None] + slot[None, :], 0, max(n - 1, 0)
+        )
+        cand = cell_list.sorted_positions[gather_pos]  # (N, K, 3)
+        mask = slot[None, :] < counts[:, None]
+        d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+        w = kernels.cubic_kernel(jnp.sqrt(d2), h)
+        return acc + jnp.sum(jnp.where(mask, w, 0), axis=1), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((n,), p.dtype), jnp.asarray(_STENCIL))
+    return jnp.asarray(particle_rest_mass, p.dtype) * acc
 
 
 def compute_particle_densities(

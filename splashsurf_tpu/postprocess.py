@@ -1,0 +1,410 @@
+"""Mesh post-processing: smoothing, cleanup, decimation, tri->quad.
+
+Mirrors the reference's postprocessing layer (splashsurf_lib/src/
+postprocessing.rs). Smoothing runs as jittable sparse-matrix-free iteration
+on device (padded CSR gathers); topological edits (Moore/Warren cleanup,
+barnacle decimation, quad merging) run on host over the half-edge mesh.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splashsurf_tpu.halfedge import HalfEdgeTriMesh, IllegalCollapse
+from splashsurf_tpu.mesh import (
+    MixedTriQuadMesh3d,
+    TriMesh3d,
+    face_normals,
+    vertex_vertex_connectivity_csr,
+)
+from splashsurf_tpu.uniform_grid import UniformGrid
+
+
+# ---------------------------------------------------------------------------
+# Laplacian smoothing (device)
+# ---------------------------------------------------------------------------
+
+
+def _csr_to_padded(offsets: np.ndarray, neighbors: np.ndarray, num_vertices: int):
+    counts = np.diff(offsets)
+    width = int(counts.max()) if len(counts) else 1
+    pad = np.full((num_vertices, width), num_vertices, dtype=np.int64)
+    for i in range(num_vertices):
+        pad[i, : counts[i]] = neighbors[offsets[i] : offsets[i + 1]]
+    return pad, counts
+
+
+def laplacian_smoothing(
+    vertices,
+    triangles,
+    iterations: int,
+    beta: float,
+    weights,
+) -> np.ndarray:
+    """Weighted Laplacian smoothing (postprocessing.rs:17-52).
+
+    Each iteration moves vertex i toward the mean of its neighbors by
+    ``beta * weights[i]``. Runs as masked neighbor gathers on device.
+    """
+    vertices = np.asarray(vertices)
+    nv = len(vertices)
+    offsets, neigh = vertex_vertex_connectivity_csr(np.asarray(triangles), nv)
+    padded, counts = _csr_to_padded(offsets, neigh, nv)
+    out = _laplacian_device(
+        jnp.asarray(vertices),
+        jnp.asarray(padded),
+        jnp.asarray(counts.astype(np.int32)),
+        iterations,
+        jnp.asarray(beta, vertices.dtype),
+        jnp.asarray(weights, vertices.dtype),
+    )
+    return np.asarray(out)
+
+
+@jax.jit
+def _laplacian_iteration(verts, padded, counts, beta_eff):
+    nv = verts.shape[0]
+    verts_ext = jnp.concatenate([verts, jnp.zeros((1, 3), verts.dtype)])
+    gathered = verts_ext[padded]  # (V, W, 3); padding row contributes 0
+    sums = jnp.sum(gathered, axis=1)
+    denom = jnp.maximum(counts, 1).astype(verts.dtype)[:, None]
+    mean = sums / denom
+    has_neighbors = (counts > 0)[:, None]
+    b = beta_eff[:, None]
+    return jnp.where(has_neighbors, verts * (1 - b) + mean * b, verts)
+
+
+def _laplacian_device(verts, padded, counts, iterations, beta, weights):
+    beta_eff = beta * weights
+    for _ in range(iterations):
+        verts = _laplacian_iteration(verts, padded, counts, beta_eff)
+    return verts
+
+
+def par_laplacian_smoothing_inplace(mesh: TriMesh3d, vertex_connectivity, iterations, beta, weights):
+    """Reference-named wrapper (mutates mesh.vertices)."""
+    mesh.vertices = laplacian_smoothing(
+        mesh.vertices, mesh.triangles, iterations, beta, np.asarray(weights)
+    )
+    return mesh
+
+
+def laplacian_smoothing_normals(
+    normals, triangles, num_vertices: int, iterations: int
+) -> np.ndarray:
+    """Normal-field smoothing: unweighted neighbor averaging + renormalize
+    (postprocessing.rs:55-93)."""
+    normals = np.asarray(normals)
+    offsets, neigh = vertex_vertex_connectivity_csr(np.asarray(triangles), num_vertices)
+    padded, counts = _csr_to_padded(offsets, neigh, num_vertices)
+    n = jnp.asarray(normals)
+    padded_j = jnp.asarray(padded)
+    for _ in range(iterations):
+        n_ext = jnp.concatenate([n, jnp.zeros((1, 3), n.dtype)])
+        s = jnp.sum(n_ext[padded_j], axis=1)
+        norm = jnp.linalg.norm(s, axis=-1, keepdims=True)
+        n = s / jnp.where(norm > 0, norm, 1.0)
+    return np.asarray(n)
+
+
+# ---------------------------------------------------------------------------
+# marching cubes cleanup (Moore/Warren displacement; host)
+# ---------------------------------------------------------------------------
+
+
+def marching_cubes_cleanup(
+    mesh: TriMesh3d,
+    grid: UniformGrid,
+    max_rel_snap_distance: Optional[float] = None,
+    max_iter: int = 5,
+    keep_vertices: bool = False,
+) -> Tuple[TriMesh3d, List[List[int]]]:
+    """Moore/Warren "mesh displacement" decimation (postprocessing.rs:99-242):
+    collapse mesh vertices that share the same nearest grid point, averaging
+    positions, so each MC cell contributes at most ~one vertex."""
+    verts = np.asarray(mesh.vertices, dtype=np.float64)
+    cell = np.floor(
+        (verts - np.asarray(grid.min)) / grid.cell_size
+    ).astype(np.int64)
+    frac = verts - (np.asarray(grid.min) + cell * grid.cell_size)
+    nearest = cell + (frac > grid.cell_size / 2.0)
+    npx, npy, npz = grid.n_points
+    nearest_flat = (nearest[:, 0] * npy + nearest[:, 1]) * npz + nearest[:, 2]
+
+    max_snap_sq = None
+    if max_rel_snap_distance is not None:
+        max_snap_sq = (max_rel_snap_distance * grid.cell_size) ** 2
+    grid_coords = np.asarray(grid.min) + nearest * grid.cell_size
+
+    he = HalfEdgeTriMesh(verts, mesh.triangles)
+    sum_count = np.ones(len(verts), dtype=np.int64)
+
+    for _ in range(max_iter):
+        collapses = 0
+        for v0 in range(len(verts)):
+            if not he.is_valid_vertex(v0):
+                continue
+            if max_snap_sq is not None:
+                d0 = he.vertices[v0] - grid_coords[v0]
+                if d0 @ d0 > max_snap_sq:
+                    continue
+            for v1 in list(he.adj[v0]):
+                if nearest_flat[v0] != nearest_flat[v1]:
+                    continue
+                if max_snap_sq is not None:
+                    d1 = he.vertices[v1] - grid_coords[v1]
+                    if d1 @ d1 > max_snap_sq:
+                        continue
+                if not he.is_valid_vertex(v1):
+                    continue
+                try:
+                    he.try_collapse(v1, v0)
+                except IllegalCollapse:
+                    continue
+                collapses += 1
+                n0, n1 = sum_count[v0], sum_count[v1]
+                he.vertices[v0] = (he.vertices[v0] * n0 + he.vertices[v1] * n1) / (
+                    n0 + n1
+                )
+                sum_count[v0] = n0 + n1
+        if collapses == 0:
+            break
+
+    return he.into_parts(keep_vertices)
+
+
+# ---------------------------------------------------------------------------
+# barnacle decimation (host)
+# ---------------------------------------------------------------------------
+
+
+def decimation(mesh: TriMesh3d, keep_vertices: bool = False):
+    """Merge "barnacle" sliver configurations (postprocessing.rs:244-263)."""
+    he = HalfEdgeTriMesh(mesh.vertices, mesh.triangles)
+    merge_single_barnacle_configurations(he)
+    merge_double_barnacle_configurations(he)
+    return he.into_parts(keep_vertices)
+
+
+def _process_collapse_queue(he: HalfEdgeTriMesh, collapses):
+    remaining = []
+    for v_from, v_to in collapses:
+        if not he.has_edge(v_from, v_to):
+            continue
+        try:
+            he.try_collapse(v_from, v_to)
+        except IllegalCollapse as e:
+            if "one-ring" in str(e):
+                remaining.append((v_from, v_to))
+    return remaining
+
+
+def _process_collapse_queue_iterative(he: HalfEdgeTriMesh, collapses):
+    remaining = _process_collapse_queue(he, collapses)
+    it = 1
+    while remaining and it < 5:
+        it += 1
+        remaining = _process_collapse_queue(he, remaining)
+
+
+def merge_single_barnacle_configurations(he: HalfEdgeTriMesh):
+    """Single barnacle: a valence-4 vertex whose ring valences sum to 20
+    with each in [4, 6] (postprocessing.rs:445-530). The ring is collapsed
+    into the center."""
+    candidates = set()
+    for v in range(len(he.vertices)):
+        if not he.is_valid_vertex(v) or he.vertex_one_ring_len(v) != 4:
+            continue
+        ring = list(he.adj[v])
+        lens = [he.vertex_one_ring_len(j) for j in ring]
+        if all(4 <= l <= 6 for l in lens) and sum(lens) == 20:
+            candidates.add(v)
+    # drop adjacent candidates
+    candidates = {
+        c for c in candidates if not any(j in candidates for j in he.adj[c])
+    }
+    collapses = {}
+    for c in candidates:
+        for i in list(he.adj[c]):
+            collapses[i] = c
+    _process_collapse_queue_iterative(he, list(collapses.items()))
+
+
+def merge_double_barnacle_configurations(he: HalfEdgeTriMesh):
+    """Double barnacle: two adjacent valence-5 centers with ring valence
+    multiset [5,5,5,6,6] (postprocessing.rs:532-686)."""
+
+    def is_center(i):
+        if not he.is_valid_vertex(i) or he.vertex_one_ring_len(i) != 5:
+            return False
+        lens = sorted(he.vertex_one_ring_len(j) for j in he.adj[i])
+        return lens == [5, 5, 5, 6, 6]
+
+    pairs = set()
+    for i in range(len(he.vertices)):
+        if not is_center(i):
+            continue
+        centers = [j for j in he.adj[i] if is_center(j)]
+        if len(centers) == 1:
+            pairs.add((min(i, centers[0]), max(i, centers[0])))
+
+    # filter overlapping pairs (a vertex participating in two pairs)
+    def overlapping(i, j):
+        pair = (min(i, j), max(i, j))
+        for k in he.adj[i]:
+            other = (min(i, k), max(i, k))
+            if k != j and other < pair and other in pairs:
+                return True
+        return False
+
+    pairs = {
+        (i, j) for (i, j) in pairs if not (overlapping(i, j) or overlapping(j, i))
+    }
+
+    # filter pairs with adjacent neighborhoods belonging to other pairs
+    center_to_pair = {}
+    for i, j in pairs:
+        center_to_pair[i] = (i, j)
+        center_to_pair[j] = (i, j)
+
+    def adjacent_to_other(i, j):
+        pair = (min(i, j), max(i, j))
+        for k in he.adj[i]:
+            if k == j:
+                continue
+            for l in he.adj[k]:
+                if l in (i, j):
+                    continue
+                other = center_to_pair.get(l)
+                if other is not None and other < pair:
+                    return True
+        return False
+
+    pairs = {
+        (i, j)
+        for (i, j) in pairs
+        if not (adjacent_to_other(i, j) or adjacent_to_other(j, i))
+    }
+
+    collapses = {}
+    for i, j in pairs:
+
+        def insert(i, j, k):
+            if k == j:
+                return
+            if all(l != j for l in he.adj[k]):
+                collapses[k] = i
+            elif np.linalg.norm(he.vertices[k] - he.vertices[i]) <= np.linalg.norm(
+                he.vertices[k] - he.vertices[j]
+            ):
+                collapses[k] = i
+            else:
+                collapses[k] = j
+
+        for k in list(he.adj[i]):
+            insert(i, j, k)
+        for k in list(he.adj[j]):
+            insert(j, i, k)
+    _process_collapse_queue_iterative(he, list(collapses.items()))
+
+
+# ---------------------------------------------------------------------------
+# triangle -> quad conversion (host, vectorized numpy)
+# ---------------------------------------------------------------------------
+
+
+def convert_tris_to_quads(
+    mesh: TriMesh3d,
+    non_squareness_limit: float = 1.75,
+    normal_angle_limit_rad: float = np.deg2rad(10),
+    max_interior_angle_rad: float = np.deg2rad(135),
+) -> MixedTriQuadMesh3d:
+    """Merge triangle pairs into quads when square enough
+    (postprocessing.rs:689-910)."""
+    verts = np.asarray(mesh.vertices, dtype=np.float64)
+    tris = np.asarray(mesh.triangles, dtype=np.int64)
+    nt = len(tris)
+    if nt == 0:
+        return MixedTriQuadMesh3d(
+            vertices=mesh.vertices, triangles=mesh.triangles, quads=np.zeros((0, 4), np.int32)
+        )
+
+    n = face_normals(verts, tris)
+    n = np.asarray(n)
+
+    # unique shared edges -> triangle pairs
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
+    e_sorted = np.sort(e, axis=1)
+    tri_ids = np.tile(np.arange(nt), 3)
+    order = np.lexsort((e_sorted[:, 1], e_sorted[:, 0]))
+    es, ts = e_sorted[order], tri_ids[order]
+    same = (es[1:] == es[:-1]).all(axis=1)
+    pair_i = ts[:-1][same]
+    pair_j = ts[1:][same]
+    shared = es[:-1][same]  # (P, 2) the shared edge (sorted vertex pair)
+
+    min_dot = np.cos(normal_angle_limit_rad)
+    sqrt2 = np.sqrt(2.0)
+
+    def build_quad(ti, tj):
+        tri_i, tri_j = tris[ti], tris[tj]
+        missing = next(v for v in tri_j if v not in tri_i)
+        q = [tri_i[0], 0, 0, 0]
+        if tri_i[0] in tri_j:
+            if tri_i[1] in tri_j:
+                q[1:] = [missing, tri_i[1], tri_i[2]]
+            else:
+                q[1:] = [tri_i[1], tri_i[2], missing]
+        elif tri_i[1] in tri_j:
+            q[1:] = [tri_i[1], missing, tri_i[2]]
+        return np.array(q, dtype=np.int64)
+
+    def interior_angle(vc, vp, vn, vo):
+        dp, dm, dn = vp - vc, vo - vc, vn - vc
+        lp, lm, ln = np.linalg.norm(dp), np.linalg.norm(dm), np.linalg.norm(dn)
+        a1 = np.arccos(np.clip(dp @ dm / (lp * lm), -1, 1))
+        a2 = np.arccos(np.clip(dm @ dn / (lm * ln), -1, 1))
+        return a1 + a2
+
+    candidates = []
+    dots = np.einsum("ij,ij->i", n[pair_i], n[pair_j])
+    for idx in np.nonzero(dots >= min_dot)[0]:
+        ti, tj = int(pair_i[idx]), int(pair_j[idx])
+        q = build_quad(ti, tj)
+        v0, v1, v2, v3 = verts[q]
+        diag = np.linalg.norm(verts[shared[idx][0]] - verts[shared[idx][1]])
+        max_len = diag / sqrt2 * non_squareness_limit
+        min_len = diag / sqrt2 / non_squareness_limit
+        edges = [v1 - v0, v2 - v1, v3 - v2, v0 - v3]
+        lens = [np.linalg.norm(d) for d in edges]
+        if not all(min_len <= l <= max_len for l in lens):
+            continue
+        angles = [
+            interior_angle(v0, v3, v1, v2),
+            interior_angle(v1, v0, v2, v3),
+            interior_angle(v2, v3, v1, v0),
+            interior_angle(v3, v2, v0, v1),
+        ]
+        if not all(a <= max_interior_angle_rad for a in angles):
+            continue
+        quality = min(lens) / max(lens)
+        candidates.append((ti, tj, q, quality))
+
+    removed = set()
+    quads = []
+    for ti, tj, q, _quality in candidates:
+        if ti in removed or tj in removed:
+            continue
+        removed.update((ti, tj))
+        quads.append(q)
+
+    kept = np.array([i for i in range(nt) if i not in removed], dtype=np.int64)
+    return MixedTriQuadMesh3d(
+        vertices=mesh.vertices,
+        triangles=tris[kept].astype(np.int32),
+        quads=(np.stack(quads).astype(np.int32) if quads else np.zeros((0, 4), np.int32)),
+    )

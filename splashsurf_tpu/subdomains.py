@@ -180,28 +180,38 @@ def chunk_levelset_scatter(
     pval = values_ext[plists]  # (C, K)
     gc = g.enclosing_cell(ppos)  # (C, K, 3) int32 (global cells; ghosts ok)
     base_local = gc - sub_ijk[:, None, :] * n_sub  # (C, K, 3)
-
-    offs = jnp.asarray(density_mod.supported_point_offsets(hsc))  # (S3, 3)
-    pts_local = base_local[:, :, None, :] + offs[None, None, :, :]  # (C,K,S3,3)
-    pts_global = pts_local + (sub_ijk[:, None, :] * n_sub)[:, :, None, :]
     mn = jnp.asarray(g.min, dtype)
     cs = jnp.asarray(g.cell_size, dtype)
-    coords = mn + pts_global.astype(dtype) * cs
-    d2 = jnp.sum((coords - ppos[:, :, None, :]) ** 2, axis=-1)
-    w = kernels.cubic_kernel(
-        jnp.sqrt(d2), jnp.asarray(compact_support_radius, dtype)
-    ) * pval[:, :, None]
+    h = jnp.asarray(compact_support_radius, dtype)
 
-    valid = jnp.all((pts_local >= 0) & (pts_local <= n_sub), axis=-1)
-    flat = (
-        pts_local[..., 0] * (P * P) + pts_local[..., 1] * P + pts_local[..., 2]
-    )
     C = plists.shape[0]
     row = jnp.arange(C, dtype=jnp.int32)[:, None, None]
-    dest = jnp.where(valid, row * (P * P * P) + flat, C * P * P * P)
-    ls = jnp.zeros((C * P * P * P,), dtype).at[dest.reshape(-1)].add(
-        w.reshape(-1), mode="drop"
+    sub_base = sub_ijk[:, None, :] * n_sub  # (C, 1, 3)
+
+    # Stream over the (2*hsc+2)^3 supported point offsets in small blocks so
+    # peak memory is O(C*K*block) rather than O(C*K*S^3) (16 GB HBM).
+    offs_np = density_mod.supported_point_offsets(hsc)  # (S3, 3)
+    block = 16
+    pad = (-len(offs_np)) % block
+    offs_np = np.concatenate(
+        [offs_np, np.full((pad, 3), -(10 * (hsc + 2)), np.int32)]
     )
+    offs_blocks = jnp.asarray(offs_np.reshape(-1, block, 3))
+
+    def body(ls, offs):
+        pts_local = base_local[:, :, None, :] + offs[None, None, :, :]  # (C,K,b,3)
+        pts_global = pts_local + sub_base[:, :, None, :]
+        coords = mn + pts_global.astype(dtype) * cs
+        d2 = jnp.sum((coords - ppos[:, :, None, :]) ** 2, axis=-1)
+        w = kernels.cubic_kernel(jnp.sqrt(d2), h) * pval[:, :, None]
+        valid = jnp.all((pts_local >= 0) & (pts_local <= n_sub), axis=-1)
+        flat = (
+            pts_local[..., 0] * (P * P) + pts_local[..., 1] * P + pts_local[..., 2]
+        )
+        dest = jnp.where(valid, row * (P * P * P) + flat, C * P * P * P)
+        return ls.at[dest.reshape(-1)].add(w.reshape(-1), mode="drop"), None
+
+    ls, _ = jax.lax.scan(body, jnp.zeros((C * P * P * P,), dtype), offs_blocks)
     return ls.reshape(C, P, P, P)
 
 
@@ -485,14 +495,23 @@ def reconstruct_surface_subdomain_grid(
     ).astype(np.int32)
 
     starts_d = jnp.asarray(occ_starts)
+    slot_budget = 1 << 21  # C*K particle-slot budget per chunk (HBM bound)
     i = 0
     while i < B:
+        # occupancy-ascending order: shrink the chunk until C*K fits budget
         j = min(i + chunk_size, B)
+        while j > i + 1:
+            K = _pow2_at_least(int(occ_counts[order[j - 1]]), lo=32)
+            if (j - i) * K <= slot_budget:
+                break
+            j -= 1
         rows = order[i:j]
         K = _pow2_at_least(int(occ_counts[rows].max()), lo=32)
-        C = len(rows)
-        if C < chunk_size:
-            rows = np.concatenate([rows, np.full(chunk_size - C, rows[-1])])
+        step = j - i
+        # pad the chunk to a power-of-two batch to bound jit recompiles
+        C = _pow2_at_least(step, lo=1)
+        if C > step:
+            rows = np.concatenate([rows, np.full(C - step, rows[-1])])
         # gather particle lists on device
         plists = _gather_plists(
             pid_s, starts_d, jnp.asarray(occ_counts), jnp.asarray(rows), K, n
