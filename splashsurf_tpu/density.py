@@ -167,36 +167,46 @@ def splat_level_set_scatter(
     positions = jnp.asarray(positions)
     values = jnp.asarray(values)
     dtype = positions.dtype
-    npts = grid.n_points
-    total_points = npts[0] * npts[1] * npts[2]
+    npx, npy, npz = grid.n_points
+    total_points = npx * npy * npz
+    n = positions.shape[0]
 
-    cell = grid.enclosing_cell(positions)  # may be out of grid for ghosts
     h = jnp.asarray(compact_support_radius, dtype)
+    cs = jnp.asarray(grid.cell_size, dtype)
+    mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
+    pxs = [positions[:, d] for d in range(3)]  # component arrays (N,)
+    cell = [jnp.floor((pxs[d] - mn[d]) / cs).astype(jnp.int32) for d in range(3)]
 
-    # Stream over offset blocks: peak memory O(N * block), not O(N * S^3).
+    # Stream over offset blocks (128 = lane width; the block axis is minor).
     offs_np = supported_point_offsets(hsc)
-    block = 16
+    block = 128
     pad = (-len(offs_np)) % block
     offs_np = np.concatenate(
         [offs_np, np.full((pad, 3), -(10 * (hsc + 2)), np.int32)]
     )
     offs_blocks = jnp.asarray(offs_np.reshape(-1, block, 3))
+    npts = (npx, npy, npz)
+    strides = (npy * npz, npz, 1)
 
     def body(out, offs):
-        pts = cell[:, None, :] + offs[None, :, :]  # (N, b, 3)
-        coords = grid.point_coordinates(pts, dtype=dtype)
-        d2 = jnp.sum((coords - positions[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.zeros((n, block), dtype)
+        flat = jnp.zeros((n, block), jnp.int32)
+        in_grid = jnp.ones((n, block), bool)
+        for d in range(3):
+            p = cell[d][:, None] + offs[None, :, d]  # (N, b)
+            coord = mn[d] + p.astype(dtype) * cs
+            delta = coord - pxs[d][:, None]
+            d2 = d2 + delta * delta
+            in_grid = in_grid & (p >= 0) & (p < npts[d])
+            flat = flat + p * strides[d]
         w = kernels.cubic_kernel(jnp.sqrt(d2), h) * values[:, None]
-        in_grid = jnp.all(
-            (pts >= 0) & (pts < jnp.asarray(npts, jnp.int32)), axis=-1
-        )
-        flat = jnp.where(in_grid, grid.flatten_point_index(pts), total_points)
-        return out.at[flat.reshape(-1)].add(w.reshape(-1), mode="drop"), None
+        dest = jnp.where(in_grid, flat, total_points)
+        return out.at[dest.reshape(-1)].add(w.reshape(-1), mode="drop"), None
 
     out, _ = jax.lax.scan(
         body, jnp.zeros((total_points,), dtype), offs_blocks
     )
-    return out.reshape(npts)
+    return out.reshape((npx, npy, npz))
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "hsc", "point_offset"))

@@ -87,20 +87,23 @@ def _case_indices(inside):
 
 
 def _edge_vertices(values, iso, grid_min, cell_size, inside, index_offset=None):
-    """Active-edge masks, interpolated vertex positions, per axis.
+    """Active-edge masks and interpolated vertex positions, per axis.
 
-    Returns (mask (E,), positions (E, 3)) flattened in x,y,z edge order.
-    ``index_offset`` (3,) int shifts local point indices to global ones so
-    subdomains compute bit-identical shared-vertex coordinates
-    (dense_subdomains.rs:817-826 analog).
+    Returns (mask (E,), (px, py, pz) each (E,)) flattened in x,y,z edge
+    order. Positions are kept as separate component arrays: a big (E, 3)
+    array would be padded to 128 lanes in its minor dimension on TPU, a 42x
+    memory blowup. ``index_offset`` (3,) int shifts local point indices to
+    global ones so subdomains compute bit-identical shared-vertex
+    coordinates (dense_subdomains.rs:817-826 analog).
     """
-    nx, ny, nz = values.shape
     dtype = values.dtype
     if index_offset is None:
         index_offset = jnp.zeros((3,), jnp.int32)
     index_offset = jnp.asarray(index_offset, jnp.int32)
+    cs = jnp.asarray(cell_size, dtype)
+    mn = jnp.asarray(grid_min, dtype)
     masks = []
-    positions = []
+    comps = [[], [], []]
     for a in range(3):
         sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
         sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
@@ -111,19 +114,21 @@ def _edge_vertices(values, iso, grid_min, cell_size, inside, index_offset=None):
         t = (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
         t = jnp.clip(t, 0.0, 1.0)
         shape = v0.shape
-        base = jnp.stack(
-            [
+        for d in range(3):
+            base = (
                 jax.lax.broadcasted_iota(jnp.int32, shape, d) + index_offset[d]
-                for d in range(3)
-            ],
-            axis=-1,
-        ).astype(dtype)
-        pos = base * jnp.asarray(cell_size, dtype)
-        pos = pos.at[..., a].add(t * jnp.asarray(cell_size, dtype))
-        pos = pos + jnp.asarray(grid_min, dtype)
+            ).astype(dtype)
+            pos_d = mn[d] + base * cs
+            if d == a:
+                pos_d = pos_d + t * cs
+            comps[d].append(pos_d.reshape(-1))
         masks.append(m.reshape(-1))
-        positions.append(pos.reshape(-1, 3))
-    return jnp.concatenate(masks), jnp.concatenate(positions, axis=0)
+    return (
+        jnp.concatenate(masks),
+        jnp.concatenate(comps[0]),
+        jnp.concatenate(comps[1]),
+        jnp.concatenate(comps[2]),
+    )
 
 
 @functools.partial(
@@ -150,30 +155,33 @@ def marching_cubes_padded(
     inside = values >= iso
 
     # --- vertices: one per active edge ---------------------------------
-    mask, pos = _edge_vertices(values, iso, grid_min, cell_size, inside, index_offset)
+    # All hot arrays stay 1-D (or small-leading-axis) so the TPU's
+    # (sublane, 128-lane) tiling never pads a tiny minor dimension.
+    mask, px, py, pz = _edge_vertices(
+        values, iso, grid_min, cell_size, inside, index_offset
+    )
     vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1  # index of each active edge
-    num_vertices = jnp.where(mask.shape[0] > 0, vidx[-1] + 1, 0).astype(jnp.int32)
+    num_vertices = (vidx[-1] + 1).astype(jnp.int32)
 
     edge_ids = jnp.arange(mask.shape[0], dtype=jnp.int32)
     dest = jnp.where(mask, vidx, vertex_capacity)
-    vertices = jnp.zeros((vertex_capacity, 3), dtype=values.dtype)
-    vertices = vertices.at[dest].set(pos, mode="drop")
+    vx = jnp.zeros((vertex_capacity,), values.dtype).at[dest].set(px, mode="drop")
+    vy = jnp.zeros((vertex_capacity,), values.dtype).at[dest].set(py, mode="drop")
+    vz = jnp.zeros((vertex_capacity,), values.dtype).at[dest].set(pz, mode="drop")
+    vertices = jnp.stack([vx, vy, vz], axis=-1)
     vertex_edges = jnp.full((vertex_capacity,), -1, dtype=jnp.int32)
     vertex_edges = vertex_edges.at[dest].set(edge_ids, mode="drop")
 
     # --- triangles: case table gather + compaction scatter ---------------
     case = _case_indices(inside)
     tri_count_tab = jnp.asarray(lut.TRI_COUNT, dtype=jnp.int32)
-    tri_table = jnp.asarray(lut.TRI_TABLE, dtype=jnp.int32)  # (256, M, 3)
 
     counts = tri_count_tab[case].reshape(-1)  # (C,)
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    num_triangles = (offsets[-1] + counts[-1]).astype(jnp.int32) if counts.shape[0] else jnp.int32(0)
+    num_triangles = (offsets[-1] + counts[-1]).astype(jnp.int32)
 
     nx, ny, nz = values.shape
     const, ci_c, cj_c, ck_c = _local_edge_coeffs((nx, ny, nz))
-    const = jnp.asarray(const)
-    ci_c, cj_c, ck_c = jnp.asarray(ci_c), jnp.asarray(cj_c), jnp.asarray(ck_c)
 
     cells = (nx - 1, ny - 1, nz - 1)
     ci = jax.lax.broadcasted_iota(jnp.int32, cells, 0).reshape(-1)
@@ -181,25 +189,25 @@ def marching_cubes_padded(
     ck = jax.lax.broadcasted_iota(jnp.int32, cells, 2).reshape(-1)
 
     case_flat = case.reshape(-1)
-    local = tri_table[case_flat]  # (C, M, 3) local edge ids (-1 padded)
-    safe_local = jnp.maximum(local, 0)
-    edge_flat = (
-        const[safe_local]
-        + ci_c[safe_local] * ci[:, None, None]
-        + cj_c[safe_local] * cj[:, None, None]
-        + ck_c[safe_local] * ck[:, None, None]
-    )
-    tri_vidx = vidx[edge_flat]  # (C, M, 3) vertex indices
-
-    n_slots = local.shape[1]
-    slot = jnp.arange(n_slots, dtype=jnp.int32)[None, :]  # (1, M)
-    slot_mask = slot < counts[:, None]  # (C, M)
-    tri_dest = jnp.where(slot_mask, offsets[:, None] + slot, triangle_capacity)
-
-    triangles = jnp.zeros((triangle_capacity, 3), dtype=jnp.int32)
-    triangles = triangles.at[tri_dest.reshape(-1)].set(
-        tri_vidx.reshape(-1, 3), mode="drop"
-    )
+    n_slots = lut.TRI_TABLE.shape[1]
+    tri_cols = []
+    for corner in range(3):
+        # (M, 256) per-corner tables: one (C,) gather per slot, no (C, M, 3).
+        tab = np.where(lut.TRI_TABLE[:, :, corner] >= 0, lut.TRI_TABLE[:, :, corner], 0)
+        col = jnp.zeros((triangle_capacity,), jnp.int32)
+        for s in range(n_slots):
+            local = jnp.asarray(tab[:, s], jnp.int32)[case_flat]  # (C,)
+            edge_flat = (
+                jnp.asarray(const)[local]
+                + jnp.asarray(ci_c)[local] * ci
+                + jnp.asarray(cj_c)[local] * cj
+                + jnp.asarray(ck_c)[local] * ck
+            )
+            tvidx = vidx[edge_flat]
+            dest_s = jnp.where(s < counts, offsets + s, triangle_capacity)
+            col = col.at[dest_s].set(tvidx, mode="drop")
+        tri_cols.append(col)
+    triangles = jnp.stack(tri_cols, axis=-1)
 
     return MarchingCubesResult(
         vertices=vertices,
@@ -215,10 +223,14 @@ def _mc_counts(values, iso):
     values = jnp.asarray(values)
     iso = jnp.asarray(iso, dtype=values.dtype)
     inside = values >= iso
-    mask, _ = _edge_vertices(values, iso, jnp.zeros(3, values.dtype), 1.0, inside)
+    n_verts = 0
+    for a in range(3):
+        sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+        sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+        n_verts += jnp.sum((inside[sl0] != inside[sl1]).astype(jnp.int32))
     case = _case_indices(inside)
     n_tris = jnp.sum(jnp.asarray(lut.TRI_COUNT, dtype=jnp.int32)[case])
-    return jnp.sum(mask.astype(jnp.int32)), n_tris
+    return n_verts, n_tris
 
 
 def decode_edge_flat(edge_flat, n_points: Tuple[int, int, int]):

@@ -235,6 +235,9 @@ def compute_particle_densities_binned(
     dims = jnp.asarray(grid.dims, jnp.int32)
     n = p.shape[0]
     slot = jnp.arange(capacity, dtype=jnp.int32)
+    # (K, N) layout: the big particle axis stays minor (128 lanes on TPU).
+    sorted_comp = [cell_list.sorted_positions[:, d] for d in range(3)]
+    p_comp = [p[:, d] for d in range(3)]
 
     def body(acc, offset):
         nb = qb + offset[None, :]
@@ -244,13 +247,15 @@ def compute_particle_densities_binned(
         ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
         counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
         gather_pos = jnp.clip(
-            starts.astype(jnp.int32)[:, None] + slot[None, :], 0, max(n - 1, 0)
-        )
-        cand = cell_list.sorted_positions[gather_pos]  # (N, K, 3)
-        mask = slot[None, :] < counts[:, None]
-        d2 = jnp.sum((cand - p[:, None, :]) ** 2, axis=-1)
+            starts.astype(jnp.int32)[None, :] + slot[:, None], 0, max(n - 1, 0)
+        )  # (K, N)
+        mask = slot[:, None] < counts[None, :]
+        d2 = jnp.zeros(gather_pos.shape, p.dtype)
+        for d in range(3):
+            delta = sorted_comp[d][gather_pos] - p_comp[d][None, :]
+            d2 = d2 + delta * delta
         w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-        return acc + jnp.sum(jnp.where(mask, w, 0), axis=1), None
+        return acc + jnp.sum(jnp.where(mask, w, 0), axis=0), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((n,), p.dtype), jnp.asarray(_STENCIL))
     return jnp.asarray(particle_rest_mass, p.dtype) * acc

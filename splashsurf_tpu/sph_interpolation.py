@@ -97,12 +97,15 @@ class SphInterpolator:
 
 
 def _stencil_scan(points, positions, grid, cell_list, capacity, step_fn, init):
-    """Scan helper: for each stencil offset, gather (M, K) candidates and
-    call step_fn(carry, cand_pos (M,K,3), cand_idx (M,K), mask) -> carry."""
+    """Scan helper: for each stencil offset, gather candidates in (K, M)
+    layout (M = query count stays the minor/lane dimension on TPU) and call
+    step_fn(carry, d2 (K,M), cand_idx (K,M), mask (K,M)) -> carry."""
     qb = grid.bin_ijk(points)
     dims = jnp.asarray(grid.dims, jnp.int32)
     n = positions.shape[0]
     slot = jnp.arange(capacity, dtype=jnp.int32)
+    sorted_comp = [cell_list.sorted_positions[:, d] for d in range(3)]
+    q_comp = [points[:, d] for d in range(3)]
 
     def body(carry, offset):
         nb = qb + offset[None, :]
@@ -112,12 +115,17 @@ def _stencil_scan(points, positions, grid, cell_list, capacity, step_fn, init):
         ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
         counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
         gpos = jnp.clip(
-            starts.astype(jnp.int32)[:, None] + slot[None, :], 0, max(n - 1, 0)
-        )
-        cand_pos = cell_list.sorted_positions[gpos]
+            starts.astype(jnp.int32)[None, :] + slot[:, None], 0, max(n - 1, 0)
+        )  # (K, M)
         cand_idx = cell_list.order[gpos]
-        mask = slot[None, :] < counts[:, None]
-        return step_fn(carry, cand_pos, cand_idx, mask), None
+        mask = slot[:, None] < counts[None, :]
+        d2 = jnp.zeros(gpos.shape, points.dtype)
+        dxs = []
+        for d in range(3):
+            delta = sorted_comp[d][gpos] - q_comp[d][None, :]
+            dxs.append(delta)
+            d2 = d2 + delta * delta
+        return step_fn(carry, d2, dxs, cand_idx, mask), None
 
     carry, _ = jax.lax.scan(body, init, jnp.asarray(_STENCIL))
     return carry
@@ -129,20 +137,27 @@ def _interpolate_normals(
 ):
     points = jnp.asarray(points)
     h = jnp.asarray(support, points.dtype)
+    m = points.shape[0]
 
-    def step(acc, cand_pos, cand_idx, mask):
-        dx = cand_pos - points[:, None, :]  # x_j - x_i
-        r = jnp.linalg.norm(dx, axis=-1)
+    def step(acc, d2, dxs, cand_idx, mask):
+        # dxs: 3 x (K, M) with dx = x_j - x_i
+        r = jnp.sqrt(d2)
         safe_r = jnp.where(r > 0, r, 1.0)
         gnorm = kernels.cubic_kernel_gradient_norm(r, h)
         vol = volumes[cand_idx]
-        contrib = dx / safe_r[..., None] * (gnorm * vol)[..., None]
-        contrib = jnp.where((mask & (r > 0) & (r < h))[..., None], contrib, 0)
-        return acc + jnp.sum(contrib, axis=1)
+        scale = jnp.where(mask & (r > 0) & (r < h), gnorm * vol / safe_r, 0)
+        return tuple(acc[d] + jnp.sum(dxs[d] * scale, axis=0) for d in range(3))
 
     grad = _stencil_scan(
-        points, positions, grid, cell_list, capacity, step, jnp.zeros_like(points)
+        points,
+        positions,
+        grid,
+        cell_list,
+        capacity,
+        step,
+        tuple(jnp.zeros((m,), points.dtype) for _ in range(3)),
     )
+    grad = jnp.stack(grad, axis=-1)
     norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
     return grad / jnp.where(norm > 0, norm, 1.0)
 
@@ -164,18 +179,22 @@ def _interpolate_quantity(
     points = jnp.asarray(points)
     h = jnp.asarray(support, points.dtype)
     D = quantity.shape[1]
+    m = points.shape[0]
+    q_comp = [quantity[:, d] for d in range(D)]
 
-    def step(carry, cand_pos, cand_idx, mask):
-        acc, corr = carry
-        dx = cand_pos - points[:, None, :]
-        r = jnp.linalg.norm(dx, axis=-1)
+    def step(carry, d2, dxs, cand_idx, mask):
+        accs, corr = carry
+        r = jnp.sqrt(d2)
         w = kernels.cubic_kernel(r, h)
-        vol_w = jnp.where(mask & (r < h), volumes[cand_idx] * w, 0)
-        acc = acc + jnp.sum(vol_w[..., None] * quantity[cand_idx], axis=1)
-        corr = corr + jnp.sum(vol_w, axis=1)
-        return (acc, corr)
+        vol_w = jnp.where(mask & (r < h), volumes[cand_idx] * w, 0)  # (K, M)
+        accs = tuple(
+            accs[d] + jnp.sum(vol_w * q_comp[d][cand_idx], axis=0)
+            for d in range(D)
+        )
+        corr = corr + jnp.sum(vol_w, axis=0)
+        return (accs, corr)
 
-    acc, corr = _stencil_scan(
+    accs, corr = _stencil_scan(
         points,
         positions,
         grid,
@@ -183,10 +202,11 @@ def _interpolate_quantity(
         capacity,
         step,
         (
-            jnp.zeros((points.shape[0], D), points.dtype),
-            jnp.zeros((points.shape[0],), points.dtype),
+            tuple(jnp.zeros((m,), points.dtype) for _ in range(D)),
+            jnp.zeros((m,), points.dtype),
         ),
     )
+    acc = jnp.stack(accs, axis=-1)
     if first_order_correction:
         factor = jnp.where(corr > 0, 1.0 / jnp.where(corr > 0, corr, 1.0), 1.0)
         acc = acc * factor[:, None]
@@ -216,12 +236,11 @@ def _weighted_ncounts(positions, grid: BinGrid, cl: CellList, support, capacity)
     r2 = jnp.asarray(support, p.dtype) ** 2
     n = p.shape[0]
 
-    def step(acc, cand_pos, cand_idx, mask):
-        d2 = jnp.sum((cand_pos - p[:, None, :]) ** 2, axis=-1)
+    def step(acc, d2, dxs, cand_idx, mask):
         wc = 1.0 - jnp.clip(d2 / r2, 0.0, 1.0)
-        not_self = cand_idx != jnp.arange(n, dtype=jnp.int32)[:, None]
+        not_self = cand_idx != jnp.arange(n, dtype=jnp.int32)[None, :]
         # a neighbor is j with r < support (weight at r >= support is 0 anyway)
-        return acc + jnp.sum(jnp.where(mask & not_self, wc, 0), axis=1)
+        return acc + jnp.sum(jnp.where(mask & not_self, wc, 0), axis=0)
 
     return _stencil_scan(
         p, p, grid, cl, capacity, step, jnp.zeros((n,), p.dtype)

@@ -39,6 +39,7 @@ from splashsurf_tpu import neighbors
 from splashsurf_tpu.mc import dense as mc_dense
 from splashsurf_tpu.mesh import TriMesh3d
 from splashsurf_tpu.params import Parameters
+from splashsurf_tpu.profiling import profile
 from splashsurf_tpu.reconstruction import SurfaceReconstruction
 from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
 
@@ -135,9 +136,10 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
         targets.append(jnp.where(cond, tflat, _INT32_MAX))
         masks.append(cond)
 
-    target_all = jnp.stack(targets, axis=1).reshape(-1)  # (N*27,) particle-major
-    mask_all = jnp.stack(masks, axis=1).reshape(-1)
-    pid_all = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 27)
+    # (27, N) stacking: N stays the minor (lane) dimension on TPU.
+    target_all = jnp.stack(targets, axis=0).reshape(-1)
+    mask_all = jnp.stack(masks, axis=0).reshape(-1)
+    pid_all = jnp.tile(jnp.arange(n, dtype=jnp.int32), 27)
 
     dest = jnp.where(mask_all, jnp.cumsum(mask_all) - 1, pair_capacity)
     tgt_c = jnp.full((pair_capacity,), _INT32_MAX, jnp.int32).at[dest].set(
@@ -176,22 +178,29 @@ def chunk_levelset_scatter(
     P = sd.points_per_dim
     dtype = positions_ext.dtype
 
-    ppos = positions_ext[plists]  # (C, K, 3)
+    # Component-array layout throughout: (C, K) minor-K arrays per axis. A
+    # (C, K, 3) array would pad its minor dim 3 -> 128 lanes on TPU.
+    pxs = [positions_ext[:, d][plists] for d in range(3)]  # 3 x (C, K)
     pval = values_ext[plists]  # (C, K)
-    gc = g.enclosing_cell(ppos)  # (C, K, 3) int32 (global cells; ghosts ok)
-    base_local = gc - sub_ijk[:, None, :] * n_sub  # (C, K, 3)
-    mn = jnp.asarray(g.min, dtype)
+    mn = [jnp.asarray(g.min[d], dtype) for d in range(3)]
     cs = jnp.asarray(g.cell_size, dtype)
     h = jnp.asarray(compact_support_radius, dtype)
+    # global cell per axis, then local base point index per axis
+    base_local = [
+        jnp.floor((pxs[d] - mn[d]) / cs).astype(jnp.int32)
+        - sub_ijk[:, d][:, None] * n_sub
+        for d in range(3)
+    ]
+    sub_base = [sub_ijk[:, d][:, None, None] * n_sub for d in range(3)]
 
-    C = plists.shape[0]
+    C, K = plists.shape
     row = jnp.arange(C, dtype=jnp.int32)[:, None, None]
-    sub_base = sub_ijk[:, None, :] * n_sub  # (C, 1, 3)
 
-    # Stream over the (2*hsc+2)^3 supported point offsets in small blocks so
-    # peak memory is O(C*K*block) rather than O(C*K*S^3) (16 GB HBM).
+    # Stream over the (2*hsc+2)^3 supported point offsets in 128-wide blocks
+    # (128 = TPU lane width: the block axis is the minor dim of every
+    # intermediate, so it must be a multiple of 128 to avoid padding).
     offs_np = density_mod.supported_point_offsets(hsc)  # (S3, 3)
-    block = 16
+    block = 128
     pad = (-len(offs_np)) % block
     offs_np = np.concatenate(
         [offs_np, np.full((pad, 3), -(10 * (hsc + 2)), np.int32)]
@@ -199,15 +208,18 @@ def chunk_levelset_scatter(
     offs_blocks = jnp.asarray(offs_np.reshape(-1, block, 3))
 
     def body(ls, offs):
-        pts_local = base_local[:, :, None, :] + offs[None, None, :, :]  # (C,K,b,3)
-        pts_global = pts_local + sub_base[:, :, None, :]
-        coords = mn + pts_global.astype(dtype) * cs
-        d2 = jnp.sum((coords - ppos[:, :, None, :]) ** 2, axis=-1)
+        d2 = jnp.zeros((C, K, block), dtype)
+        flat = jnp.zeros((C, K, block), jnp.int32)
+        valid = jnp.ones((C, K, block), bool)
+        strides = (P * P, P, 1)
+        for d in range(3):
+            pl = base_local[d][:, :, None] + offs[None, None, :, d]  # (C,K,b)
+            coord = mn[d] + (pl + sub_base[d]).astype(dtype) * cs
+            delta = coord - pxs[d][:, :, None]
+            d2 = d2 + delta * delta
+            valid = valid & (pl >= 0) & (pl <= n_sub)
+            flat = flat + pl * strides[d]
         w = kernels.cubic_kernel(jnp.sqrt(d2), h) * pval[:, :, None]
-        valid = jnp.all((pts_local >= 0) & (pts_local <= n_sub), axis=-1)
-        flat = (
-            pts_local[..., 0] * (P * P) + pts_local[..., 1] * P + pts_local[..., 2]
-        )
         dest = jnp.where(valid, row * (P * P * P) + flat, C * P * P * P)
         return ls.at[dest.reshape(-1)].add(w.reshape(-1), mode="drop"), None
 
@@ -383,16 +395,27 @@ def halo_overwrite(ls, own_flat, nb_idx, nb_flat):
 def chunk_mc_counts(ls, sd: SubdomainGridParams, iso):
     def one(v):
         inside = v >= iso
-        m, _ = mc_dense._edge_vertices(v, iso, jnp.zeros(3, v.dtype), 1.0, inside)
+        nv = 0
+        for a in range(3):
+            sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+            sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+            nv += jnp.sum((inside[sl0] != inside[sl1]).astype(jnp.int32))
         case = mc_dense._case_indices(inside)
         nt = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
-        return jnp.sum(m.astype(jnp.int32)), nt
+        return nv, nt
 
     return jax.vmap(one)(ls)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sd", "vertex_capacity", "triangle_capacity")
+    jax.jit,
+    static_argnames=(
+        "sd",
+        "vertex_capacity",
+        "triangle_capacity",
+        "pack_vertex_capacity",
+        "pack_triangle_capacity",
+    ),
 )
 def chunk_mc(
     ls,
@@ -401,13 +424,23 @@ def chunk_mc(
     iso,
     vertex_capacity: int,
     triangle_capacity: int,
+    pack_vertex_capacity: int,
+    pack_triangle_capacity: int,
 ):
-    """Batched MC over a chunk. Returns per-subdomain padded results plus
-    global edge identifiers (axis, global base-point ijk) per vertex."""
+    """Batched MC over a chunk, with device-side compaction.
+
+    The per-subdomain padded outputs are packed into flat chunk-level
+    arrays (vertices, int32 edge-key halves, triangles with chunk-local
+    vertex indices) so only exact-size data crosses the host link — padded
+    per-subdomain transfers through the TPU tunnel dominated the frame time
+    otherwise. Returns
+    (vx, vy, vz, key_hi, key_lo, t0, t1, t2, total_v, total_t, nv, nt).
+    """
     g = sd.global_grid
     P = sd.points_per_dim
     mn = jnp.asarray(g.min)
     cs = g.cell_size
+    _npx, npy, npz = g.n_points
 
     def one(v, sijk):
         res = mc_dense.marching_cubes_padded(
@@ -421,11 +454,56 @@ def chunk_mc(
         )
         axis, ijk = mc_dense.decode_edge_flat(res.vertex_edges, (P, P, P))
         gijk = ijk + (sijk * sd.n_sub)[None, :]
-        valid = res.vertex_edges >= 0
-        axis = jnp.where(valid, axis, -1)
-        return res.vertices, res.triangles, res.num_vertices, res.num_triangles, axis, gijk
+        # Edge key split into two int32 halves (combined to int64 on host):
+        # hi = gi * npy + gj, lo = gk * 3 + axis.
+        key_hi = gijk[:, 0] * npy + gijk[:, 1]
+        key_lo = gijk[:, 2] * 3 + axis
+        return res.vertices, res.triangles, res.num_vertices, res.num_triangles, key_hi, key_lo
 
-    return jax.vmap(one)(ls, sub_ijk)
+    verts, tris, nv, nt, key_hi, key_lo = jax.vmap(one)(ls, sub_ijk)
+
+    C, Vc, _ = verts.shape
+    Tc = tris.shape[1]
+    voff = jnp.cumsum(nv) - nv
+    toff = jnp.cumsum(nt) - nt
+    total_v = voff[-1] + nv[-1]
+    total_t = toff[-1] + nt[-1]
+
+    iv = jnp.arange(Vc, dtype=jnp.int32)[None, :]
+    vdest = jnp.where(iv < nv[:, None], voff[:, None] + iv, pack_vertex_capacity)
+    vdest_f = vdest.reshape(-1)
+    pvx = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
+        verts[:, :, 0].reshape(-1), mode="drop"
+    )
+    pvy = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
+        verts[:, :, 1].reshape(-1), mode="drop"
+    )
+    pvz = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
+        verts[:, :, 2].reshape(-1), mode="drop"
+    )
+    phi = jnp.zeros((pack_vertex_capacity,), jnp.int32).at[vdest_f].set(
+        key_hi.reshape(-1), mode="drop"
+    )
+    plo = jnp.zeros((pack_vertex_capacity,), jnp.int32).at[vdest_f].set(
+        key_lo.reshape(-1), mode="drop"
+    )
+
+    it = jnp.arange(Tc, dtype=jnp.int32)[None, :]
+    tdest = jnp.where(it < nt[:, None], toff[:, None] + it, pack_triangle_capacity)
+    tdest_f = tdest.reshape(-1)
+    tcols = []
+    for corner in range(3):
+        shifted = tris[:, :, corner] + voff[:, None]  # chunk-local vertex ids
+        tcols.append(
+            jnp.zeros((pack_triangle_capacity,), jnp.int32)
+            .at[tdest_f]
+            .set(shifted.reshape(-1), mode="drop")
+        )
+
+    return (
+        pvx, pvy, pvz, phi, plo, tcols[0], tcols[1], tcols[2],
+        total_v.astype(jnp.int32), total_t.astype(jnp.int32), nv, nt,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,9 +532,11 @@ def reconstruct_surface_subdomain_grid(
     dtype = positions.dtype
 
     # 1. global per-particle densities
-    rho = neighbors.compute_particle_densities(
-        positions, support, parameters.particle_rest_mass
-    )
+    with profile("compute particle densities"):
+        rho = neighbors.compute_particle_densities(
+            positions, support, parameters.particle_rest_mass
+        )
+        rho.block_until_ready()
     values = jnp.asarray(parameters.particle_rest_mass, dtype) / rho
 
     # dummy row for padded gathers
@@ -467,6 +547,8 @@ def reconstruct_surface_subdomain_grid(
 
     # 2. decomposition into (subdomain, particle) pairs
     pair_capacity = _pow2_at_least(int(n * 2) + 64)
+    prof_decomp = profile("decomposition")
+    prof_decomp.__enter__()
     while True:
         tgt_s, pid_s, n_pairs = decompose(positions, sd, pair_capacity)
         n_pairs = int(n_pairs)
@@ -475,6 +557,7 @@ def reconstruct_surface_subdomain_grid(
         pair_capacity = _pow2_at_least(n_pairs)
     tgt_np = np.asarray(tgt_s[:n_pairs])
     occ_ids, occ_starts, occ_counts = _segments(tgt_np)
+    prof_decomp.__exit__(None, None, None)
     B = len(occ_ids)
     if B == 0:
         empty = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
@@ -494,6 +577,8 @@ def reconstruct_surface_subdomain_grid(
         axis=1,
     ).astype(np.int32)
 
+    prof_splat = profile("level set splat")
+    prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
     slot_budget = 1 << 21  # C*K particle-slot budget per chunk (HBM bound)
     i = 0
@@ -531,57 +616,85 @@ def reconstruct_surface_subdomain_grid(
 
     # reorder back to occ order
     ls_all = jnp.concatenate(ls_parts, axis=0)
+    ls_all.block_until_ready()
+    prof_splat.__exit__(None, None, None)
     inv = np.empty(B, np.int64)
     inv[np.concatenate(part_rows)] = np.arange(B)
     ls_all = ls_all[jnp.asarray(inv)]
 
     # 4. canonical halo overwrite
-    nb_idx, nb_flat = _neighbor_tables(occ_ids, sub_ijk_all, sd)
-    ls_all = halo_overwrite(
-        ls_all, jnp.asarray(occ_ids.astype(np.int32)), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
-    )
+    with profile("halo overwrite"):
+        nb_idx, nb_flat = _neighbor_tables(occ_ids, sub_ijk_all, sd)
+        ls_all = halo_overwrite(
+            ls_all, jnp.asarray(occ_ids.astype(np.int32)), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
+        )
+        ls_all.block_until_ready()
 
     # 5. batched marching cubes, chunked with capacity buckets
-    nv_all, nt_all = chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
-    nv_all, nt_all = np.asarray(nv_all), np.asarray(nt_all)
+    with profile("mc counts"):
+        nv_all, nt_all = chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
+        nv_all, nt_all = np.asarray(nv_all), np.asarray(nt_all)
 
-    patches = {}  # row -> (verts, keys, tris)
+    prof_mc = profile("marching cubes + pack")
+    prof_mc.__enter__()
+    # Dummy all-outside level set for padding chunks to a uniform batch size
+    # (an empty subdomain emits zero vertices/triangles).
+    ls_ext = jnp.concatenate([ls_all, jnp.zeros((1,) + ls_all.shape[1:], dtype)])
+    sub_ijk_ext = np.concatenate([sub_ijk_all, np.zeros((1, 3), np.int32)])
+
     mc_order = np.argsort(np.maximum(nv_all, nt_all), kind="stable")
+    _npx_g, npy_g, npz_g = sd.global_grid.n_points
+    all_vx, all_vy, all_vz, all_keys = [], [], [], []
+    all_t = []
+    v_running = 0
     i = 0
     while i < B:
         j = min(i + chunk_size, B)
         rows = mc_order[i:j]
         vc = _pow2_at_least(int(nv_all[rows].max()))
         tc = _pow2_at_least(int(nt_all[rows].max()))
+        pack_vc = _pow2_at_least(int(nv_all[rows].sum()))
+        pack_tc = _pow2_at_least(int(nt_all[rows].sum()))
         rows_p = rows
         if len(rows) < chunk_size:
-            rows_p = np.concatenate([rows, np.full(chunk_size - len(rows), rows[-1])])
-        v, t, nv, nt, axis, gijk = chunk_mc(
-            ls_all[jnp.asarray(rows_p)],
-            jnp.asarray(sub_ijk_all[rows_p]),
+            # pad with the dummy empty row (index B)
+            rows_p = np.concatenate([rows, np.full(chunk_size - len(rows), B)])
+        out = chunk_mc(
+            ls_ext[jnp.asarray(rows_p)],
+            jnp.asarray(sub_ijk_ext[rows_p]),
             sd,
             jnp.asarray(iso, dtype),
             vertex_capacity=vc,
             triangle_capacity=tc,
+            pack_vertex_capacity=pack_vc,
+            pack_triangle_capacity=pack_tc,
         )
-        v, t = np.asarray(v), np.asarray(t)
-        nv, nt = np.asarray(nv), np.asarray(nt)
-        axis, gijk = np.asarray(axis), np.asarray(gijk)
-        for c, row in enumerate(rows):
-            nvc, ntc = int(nv[c]), int(nt[c])
-            patches[int(row)] = (
-                v[c, :nvc],
-                _edge_keys(axis[c, :nvc], gijk[c, :nvc], sd.global_grid),
-                t[c, :ntc],
-            )
+        pvx, pvy, pvz, phi, plo, t0, t1, t2, total_v, total_t = (
+            np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2]),
+            np.asarray(out[3]), np.asarray(out[4]), np.asarray(out[5]),
+            np.asarray(out[6]), np.asarray(out[7]), int(out[8]), int(out[9]),
+        )
+        all_vx.append(pvx[:total_v])
+        all_vy.append(pvy[:total_v])
+        all_vz.append(pvz[:total_v])
+        all_keys.append(
+            phi[:total_v].astype(np.int64) * (npz_g * 3)
+            + plo[:total_v].astype(np.int64)
+        )
+        tri = np.stack([t0[:total_t], t1[:total_t], t2[:total_t]], axis=1)
+        all_t.append(tri.astype(np.int64) + v_running)
+        v_running += total_v
         i = j
 
-    rows_sorted = sorted(patches.keys())
-    mesh = _stitch(
-        [patches[r][0] for r in rows_sorted],
-        [patches[r][1] for r in rows_sorted],
-        [patches[r][2] for r in rows_sorted],
-    )
+    prof_mc.__exit__(None, None, None)
+    with profile("stitching"):
+        mesh = _stitch_flat(
+            np.concatenate(all_vx),
+            np.concatenate(all_vy),
+            np.concatenate(all_vz),
+            np.concatenate(all_keys),
+            np.concatenate(all_t) if all_t else np.zeros((0, 3), np.int64),
+        )
 
     return SurfaceReconstruction(
         grid=sd.global_grid,
@@ -635,6 +748,15 @@ def _edge_keys(axis: np.ndarray, gijk: np.ndarray, grid: UniformGrid) -> np.ndar
     j = gijk[:, 1].astype(np.int64)
     k = gijk[:, 2].astype(np.int64)
     return ((i * npy + j) * npz + k) * 3 + axis.astype(np.int64)
+
+
+def _stitch_flat(vx, vy, vz, keys, tris) -> TriMesh3d:
+    """Merge packed patches: sort-unique vertices by global edge key, remap
+    triangle indices (dense_subdomains.rs:1603-1749 analog)."""
+    uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    final_verts = np.stack([vx[first_idx], vy[first_idx], vz[first_idx]], axis=1)
+    final_tris = inverse[tris].astype(np.int32)
+    return TriMesh3d(vertices=final_verts, triangles=final_tris)
 
 
 def _stitch(verts, keys, tris) -> TriMesh3d:

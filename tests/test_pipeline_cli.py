@@ -1,0 +1,202 @@
+"""Pipeline + CLI tests (mirrors splashsurf/tests/test_pipeline.rs:8-120 and
+cli arg invariants cli.rs:181-327), plus sequence expansion and BGEO IO."""
+
+import os
+
+import numpy as np
+import pytest
+
+import splashsurf_tpu as st
+from splashsurf_tpu.cli import make_parser, run_splashsurf
+from splashsurf_tpu.io import bgeo as bgeo_io
+from splashsurf_tpu.io.vtk import particles_from_vtk, mesh_from_vtk
+from splashsurf_tpu.mesh import check_mesh_consistency
+from splashsurf_tpu.params import GridDecompositionParameters
+from splashsurf_tpu.pipeline import (
+    PostprocessingParameters,
+    reconstruction_pipeline,
+)
+from splashsurf_tpu.sequence import collect_sequence, default_output_name, is_sequence
+
+
+@pytest.fixture(scope="module")
+def bunny(data_dir):
+    pts, _ = particles_from_vtk(f"{data_dir}/bunny_frame_14_7705_particles.vtk")
+    return np.asarray(pts)
+
+
+def _params(rel_cube=1.1):
+    return st.Parameters.new_relative(
+        0.025,
+        4.0,
+        rel_cube,
+        grid_decomposition=GridDecompositionParameters(32, auto_disable=False),
+    )
+
+
+class TestPipeline:
+    def test_no_postprocessing_equals_raw(self, bunny):
+        # test_pipeline.rs: raw == final when no post-processing requested
+        res = reconstruction_pipeline(
+            bunny, _params(), PostprocessingParameters(output_raw_mesh=True)
+        )
+        final = res.tri_mesh.mesh
+        raw = res.raw_reconstruction.mesh
+        assert final.num_triangles == raw.num_triangles
+        np.testing.assert_array_equal(final.triangles, raw.triangles)
+
+    def test_bunny_band_and_consistency(self, bunny):
+        res = reconstruction_pipeline(bunny, _params())
+        mesh = res.tri_mesh.mesh
+        # reference band for bunny at cube=0.75 is 60-80k; at cube=1.1 fewer
+        assert 20_000 < mesh.num_triangles < 80_000
+        assert check_mesh_consistency(mesh.vertices, mesh.triangles) is None
+
+    def test_full_postprocessing_chain(self, bunny):
+        post = PostprocessingParameters(
+            mesh_cleanup=True,
+            decimate_barnacles=True,
+            compute_normals=True,
+            sph_normals=True,
+            normals_smoothing_iters=2,
+            mesh_smoothing_iters=10,
+            mesh_smoothing_weights=True,
+            output_mesh_smoothing_weights=True,
+            check_mesh_closed=True,
+            check_mesh_manifold=True,
+        )
+        res = reconstruction_pipeline(bunny, _params(), post)
+        mwd = res.tri_mesh
+        names = {a.name for a in mwd.point_attributes}
+        assert {"normals", "wnn", "sw"} <= names
+        nrm = next(a.data for a in mwd.point_attributes if a.name == "normals")
+        assert nrm.shape == (mwd.mesh.num_vertices, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4
+        )
+
+    def test_quads_output(self, bunny):
+        res = reconstruction_pipeline(
+            bunny, _params(), PostprocessingParameters(generate_quads=True)
+        )
+        assert res.tri_quad_mesh is not None
+        assert len(res.tri_quad_mesh.mesh.quads) > 0
+
+    def test_attribute_interpolation_missing_raises(self, bunny):
+        with pytest.raises(KeyError):
+            reconstruction_pipeline(
+                bunny,
+                _params(),
+                PostprocessingParameters(interpolate_attributes=["nope"]),
+                attributes={},
+            )
+
+
+class TestSequence:
+    def test_expand_and_sort(self, tmp_path):
+        for i in [3, 1, 2, 10]:
+            (tmp_path / f"frame_{i}.xyz").write_bytes(b"")
+        (tmp_path / "other.xyz").write_bytes(b"")
+        jobs = collect_sequence(
+            str(tmp_path / "frame_{}.xyz"), str(tmp_path / "out_{}.vtk")
+        )
+        assert [j.index for j in jobs] == [1, 2, 3, 10]  # natural sort
+        assert jobs[0].output_file.endswith("out_1.vtk")
+
+    def test_start_end_index(self, tmp_path):
+        for i in range(6):
+            (tmp_path / f"f_{i}.xyz").write_bytes(b"")
+        jobs = collect_sequence(
+            str(tmp_path / "f_{}.xyz"), str(tmp_path / "o_{}.vtk"), 2, 4
+        )
+        assert [j.index for j in jobs] == [2, 3, 4]
+
+    def test_is_sequence_and_default_name(self):
+        assert is_sequence("a/b/frame_{}.vtk")
+        assert not is_sequence("a/b/frame_1.vtk")
+        assert default_output_name("/x/bunny.vtk").endswith("bunny_surface.vtk")
+
+
+class TestBgeo:
+    def test_read_fixtures(self, data_dir):
+        pts, _ = bgeo_io.particles_from_bgeo(f"{data_dir}/octocat_32614_particles.bgeo")
+        assert pts.shape == (32614, 3)
+        pts2, _ = bgeo_io.particles_from_bgeo(
+            f"{data_dir}/hilbert_46843_particles.bgeo"
+        )
+        assert pts2.shape == (46843, 3)
+
+    def test_roundtrip_with_attributes(self, tmp_path, rng):
+        pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+        attrs = {
+            "id": np.arange(64, dtype=np.int32),
+            "velocity": rng.normal(size=(64, 3)).astype(np.float32),
+        }
+        path = str(tmp_path / "p.bgeo")
+        bgeo_io.write_particles_bgeo(path, pts, attrs)
+        back, battrs = bgeo_io.particles_from_bgeo(path)
+        np.testing.assert_allclose(back, pts, atol=1e-6)
+        np.testing.assert_array_equal(battrs["id"], attrs["id"])
+        np.testing.assert_allclose(battrs["velocity"], attrs["velocity"], atol=1e-6)
+
+
+class TestCli:
+    def test_parser_relative_params(self):
+        args = make_parser().parse_args(
+            ["reconstruct", "in.vtk", "-r", "0.025", "-l", "2.0", "-c", "0.5"]
+        )
+        assert args.particle_radius == 0.025
+        assert args.smoothing_length == 2.0
+        assert args.surface_threshold == 0.6
+        assert args.subdomain_grid is True
+
+    def test_switch_parsing(self):
+        args = make_parser().parse_args(
+            [
+                "reconstruct", "in.vtk", "-r", "1", "-l", "2", "-c", "1",
+                "--subdomain-grid=off", "--normals=on",
+            ]
+        )
+        assert args.subdomain_grid is False
+        assert args.normals is True
+        with pytest.raises(SystemExit):
+            make_parser().parse_args(
+                ["reconstruct", "in.vtk", "-r", "1", "-l", "2", "-c", "1",
+                 "--normals=maybe"]
+            )
+
+    def test_end_to_end_reconstruct(self, tmp_path, data_dir):
+        out = str(tmp_path / "out.vtk")
+        rc = run_splashsurf(
+            [
+                "-q",
+                "reconstruct",
+                f"{data_dir}/cube_2366_particles.vtk",
+                "-r", "0.025", "-l", "2.0", "-c", "1.0",
+                "-o", out,
+                "--subdomain-cubes", "32",
+            ]
+        )
+        assert rc == 0
+        mesh = mesh_from_vtk(out)
+        assert mesh.num_triangles > 5000
+        assert check_mesh_consistency(mesh.vertices, mesh.triangles) is None
+
+    def test_convert_subcommand(self, tmp_path, data_dir):
+        out = str(tmp_path / "conv.bgeo")
+        rc = run_splashsurf(
+            ["-q", "convert", "--particles",
+             f"{data_dir}/cube_8_particles.vtk", "-o", out]
+        )
+        assert rc == 0
+        pts, _ = bgeo_io.particles_from_bgeo(out)
+        assert pts.shape == (8, 3)
+
+    def test_convert_refuses_overwrite(self, tmp_path, data_dir):
+        out = tmp_path / "x.xyz"
+        out.write_bytes(b"")
+        rc = run_splashsurf(
+            ["-q", "convert", "--particles",
+             f"{data_dir}/cube_8_particles.vtk", "-o", str(out)]
+        )
+        assert rc == 1  # error: exists without --overwrite
