@@ -27,12 +27,81 @@ from splashsurf_tpu.params import (
 from splashsurf_tpu.aabb import Aabb3d
 from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
 from splashsurf_tpu import kernels
-from splashsurf_tpu.mesh import TriMesh3d, MeshWithData, MeshAttribute
+from splashsurf_tpu.mesh import (
+    TriMesh3d,
+    MixedTriQuadMesh3d,
+    MeshWithData,
+    MeshAttribute,
+    check_mesh_consistency,
+)
 from splashsurf_tpu.reconstruction import (
     reconstruct_surface,
     SurfaceReconstruction,
     grid_for_reconstruction,
 )
+
+
+# ---------------------------------------------------------------------------
+# pysplashsurf-parity function surface (pysplashsurf/src/lib.rs:29-79): the
+# full Python API a pysplashsurf user expects, re-exported at top level.
+# ---------------------------------------------------------------------------
+
+def __getattr__(name):
+    # Lazy imports keep `import splashsurf_tpu` light.
+    if name == "reconstruction_pipeline":
+        from splashsurf_tpu.pipeline import reconstruction_pipeline
+
+        return reconstruction_pipeline
+    if name == "PostprocessingParameters":
+        from splashsurf_tpu.pipeline import PostprocessingParameters
+
+        return PostprocessingParameters
+    if name == "marching_cubes":
+        from splashsurf_tpu.mc import marching_cubes
+
+        return marching_cubes
+    if name == "marching_cubes_cleanup":
+        from splashsurf_tpu.postprocess import marching_cubes_cleanup
+
+        return marching_cubes_cleanup
+    if name == "convert_tris_to_quads":
+        from splashsurf_tpu.postprocess import convert_tris_to_quads
+
+        return convert_tris_to_quads
+    if name == "barnacle_decimation":
+        from splashsurf_tpu.postprocess import decimation
+
+        return decimation
+    if name == "laplacian_smoothing_parallel":
+        from splashsurf_tpu.postprocess import laplacian_smoothing
+
+        return laplacian_smoothing
+    if name == "laplacian_smoothing_normals_parallel":
+        from splashsurf_tpu.postprocess import laplacian_smoothing_normals
+
+        return laplacian_smoothing_normals
+    if name == "neighborhood_search_spatial_hashing_parallel":
+        from splashsurf_tpu.neighbors import (
+            neighborhood_search_spatial_hashing_parallel,
+        )
+
+        return neighborhood_search_spatial_hashing_parallel
+    if name == "SphInterpolator":
+        from splashsurf_tpu.sph_interpolation import SphInterpolator
+
+        return SphInterpolator
+    if name == "run_splashsurf":
+        from splashsurf_tpu.cli import run_splashsurf
+
+        return run_splashsurf
+    if name in ("io", "mesh", "profiling", "postprocess", "pipeline", "mc",
+                "neighbors", "density", "subdomains", "sph_interpolation",
+                "sequence", "parallel", "cli", "studio"):
+        import importlib
+
+        return importlib.import_module(f"splashsurf_tpu.{name}")
+    raise AttributeError(f"module 'splashsurf_tpu' has no attribute {name!r}")
+
 
 __version__ = "0.1.0"
 
@@ -45,9 +114,22 @@ __all__ = [
     "kernel_extents",
     "kernels",
     "TriMesh3d",
+    "MixedTriQuadMesh3d",
     "MeshWithData",
     "MeshAttribute",
+    "check_mesh_consistency",
     "reconstruct_surface",
     "SurfaceReconstruction",
     "grid_for_reconstruction",
+    "reconstruction_pipeline",
+    "PostprocessingParameters",
+    "marching_cubes",
+    "marching_cubes_cleanup",
+    "convert_tris_to_quads",
+    "barnacle_decimation",
+    "laplacian_smoothing_parallel",
+    "laplacian_smoothing_normals_parallel",
+    "neighborhood_search_spatial_hashing_parallel",
+    "SphInterpolator",
+    "run_splashsurf",
 ]

@@ -198,6 +198,25 @@ def to_csr(padded_lists: np.ndarray, counts: np.ndarray):
     return offsets, indices
 
 
+def neighborhood_search_spatial_hashing_parallel(
+    positions, radius: float, max_neighbors: int = 256
+):
+    """Ragged neighbor lists for all particles (pysplashsurf parity:
+    ``neighborhood_search_spatial_hashing_parallel``). Returns a list of
+    int arrays; the device computation uses the sorted cell binning."""
+    positions = jnp.asarray(positions)
+    mn = np.asarray(jnp.min(positions, axis=0))
+    mx = np.asarray(jnp.max(positions, axis=0))
+    grid = BinGrid.for_domain(mn, mx, radius)
+    cl = build_cell_list(positions, grid)
+    capacity = _round_up(max_bin_occupancy(cl))
+    lists, counts = neighbor_lists_padded(
+        positions, grid, cl, radius, capacity, max_neighbors
+    )
+    lists, counts = np.asarray(lists), np.asarray(counts)
+    return [lists[i, : counts[i]] for i in range(len(counts))]
+
+
 def neighborhood_search_naive(positions: np.ndarray, radius: float):
     """O(N^2) oracle (neighborhood_search.rs:72-91), host-side."""
     p = np.asarray(positions, dtype=np.float64)

@@ -581,20 +581,28 @@ def reconstruct_surface_subdomain_grid(
     prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
     slot_budget = 1 << 21  # C*K particle-slot budget per chunk (HBM bound)
+    def _k_bucket(n: int) -> int:
+        # Particle-list capacities in factor-8 steps: at most ~4 distinct
+        # jit shapes per frame (remote compiles dominate otherwise).
+        k = 64
+        while k < n:
+            k *= 8
+        return k
+
     i = 0
     while i < B:
         # occupancy-ascending order: shrink the chunk until C*K fits budget
         j = min(i + chunk_size, B)
         while j > i + 1:
-            K = _pow2_at_least(int(occ_counts[order[j - 1]]), lo=32)
+            K = _k_bucket(int(occ_counts[order[j - 1]]))
             if (j - i) * K <= slot_budget:
                 break
             j -= 1
         rows = order[i:j]
-        K = _pow2_at_least(int(occ_counts[rows].max()), lo=32)
+        K = _k_bucket(int(occ_counts[rows].max()))
         step = j - i
-        # pad the chunk to a power-of-two batch to bound jit recompiles
-        C = _pow2_at_least(step, lo=1)
+        # fixed batch size per K bucket: one jit shape per (C, K) combo
+        C = min(chunk_size, max(1, slot_budget // K))
         if C > step:
             rows = np.concatenate([rows, np.full(C - step, rows[-1])])
         # gather particle lists on device
@@ -647,14 +655,22 @@ def reconstruct_surface_subdomain_grid(
     all_vx, all_vy, all_vz, all_keys = [], [], [], []
     all_t = []
     v_running = 0
+    # One set of capacities for ALL chunks: remote TPU compiles are far more
+    # expensive than the padding waste of uniform shapes.
+    vc = _pow2_at_least(int(nv_all.max()))
+    tc = _pow2_at_least(int(nt_all.max()))
+    chunk_sums_v = [
+        int(nv_all[mc_order[i : i + chunk_size]].sum()) for i in range(0, B, chunk_size)
+    ]
+    chunk_sums_t = [
+        int(nt_all[mc_order[i : i + chunk_size]].sum()) for i in range(0, B, chunk_size)
+    ]
+    pack_vc = _pow2_at_least(max(chunk_sums_v))
+    pack_tc = _pow2_at_least(max(chunk_sums_t))
     i = 0
     while i < B:
         j = min(i + chunk_size, B)
         rows = mc_order[i:j]
-        vc = _pow2_at_least(int(nv_all[rows].max()))
-        tc = _pow2_at_least(int(nt_all[rows].max()))
-        pack_vc = _pow2_at_least(int(nv_all[rows].sum()))
-        pack_tc = _pow2_at_least(int(nt_all[rows].sum()))
         rows_p = rows
         if len(rows) < chunk_size:
             # pad with the dummy empty row (index B)
