@@ -227,7 +227,7 @@ def chunk_levelset_scatter(
     return ls.reshape(C, P, P, P)
 
 
-@functools.partial(jax.jit, static_argnames=("sd", "hsc", "slots"))
+@functools.partial(jax.jit, static_argnames=("sd", "hsc", "slots", "unroll"))
 def chunk_levelset_raster(
     positions_ext,
     values_ext,
@@ -236,14 +236,18 @@ def chunk_levelset_raster(
     sd: SubdomainGridParams,
     compact_support_radius,
     hsc: int,
-    slots: int = 4,
+    slots: int = 2,
+    unroll: bool = True,
 ):
     """Raster-sweep splat for dense chunks: no scatter in the hot loop.
 
-    Particles are rasterized into (C, R, R, R, slots) cell-slot arrays
-    (R = n_sub + 2*margin covers the ghost ring); the level set is then a
-    dense sweep over sphere-pruned static cell offsets. Slot overflow is
-    routed through the scatter path (correct for any occupancy).
+    Particles are rasterized into per-component (C, slots, R, R, R) arrays
+    (one unique-destination scatter per particle slot; R = n_sub + 2*margin
+    covers the ghost ring). The level set is then a *statically unrolled*
+    dense sweep over sphere-pruned cell offsets: each step is a static
+    shifted window + fused VPU math — the TPU-friendly analog of the
+    reference's AVX/NEON grid loops (dense_subdomains.rs:849-1133). Slot
+    overflow routes through the scatter path (correct for any occupancy).
     Returns (level sets (C, P, P, P), overflow count).
     """
     g = sd.global_grid
@@ -254,14 +258,24 @@ def chunk_levelset_raster(
     dtype = positions_ext.dtype
     C, K = plists.shape
 
-    ppos = positions_ext[plists]  # (C, K, 3)
+    pxs = [positions_ext[:, d][plists] for d in range(3)]  # 3 x (C, K)
     pval = values_ext[plists]
-    gc = g.enclosing_cell(ppos)
-    rc = gc - sub_ijk[:, None, :] * n_sub + m  # raster cell coords
-    in_raster = jnp.all((rc >= 0) & (rc < R), axis=-1)
-    rc = jnp.clip(rc, 0, R - 1)
+    mn = [jnp.asarray(g.min[d], dtype) for d in range(3)]
+    cs = jnp.asarray(g.cell_size, dtype)
+    h = jnp.asarray(compact_support_radius, dtype)
+
+    rc = [
+        jnp.floor((pxs[d] - mn[d]) / cs).astype(jnp.int32)
+        - sub_ijk[:, d][:, None] * n_sub
+        + m
+        for d in range(3)
+    ]
+    in_raster = jnp.ones((C, K), bool)
+    for d in range(3):
+        in_raster = in_raster & (rc[d] >= 0) & (rc[d] < R)
+        rc[d] = jnp.clip(rc[d], 0, R - 1)
     cell_flat = jnp.where(
-        in_raster, rc[..., 0] * (R * R) + rc[..., 1] * R + rc[..., 2], R * R * R
+        in_raster, rc[0] * (R * R) + rc[1] * R + rc[2], R * R * R
     )
 
     # Slot rank via per-row sort (stable, so input order breaks ties).
@@ -269,70 +283,104 @@ def chunk_levelset_raster(
     cf_sorted = jnp.take_along_axis(cell_flat, sort_idx, axis=1)
     start = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(cf_sorted)
     rank = jnp.arange(K, dtype=jnp.int32)[None, :] - start.astype(jnp.int32)
-    pos_sorted = jnp.take_along_axis(ppos, sort_idx[..., None], axis=1)
     val_sorted = jnp.take_along_axis(pval, sort_idx, axis=1)
 
     ok = (rank < slots) & (cf_sorted < R * R * R)
     row = jnp.arange(C, dtype=jnp.int32)[:, None]
+    # layout (C, slots, R^3): big raster axis minor
     dest = jnp.where(
-        ok, (row * (R * R * R) + cf_sorted) * slots + rank, C * R * R * R * slots
+        ok, (row * slots + rank) * (R * R * R) + cf_sorted, C * R * R * R * slots
     )
-    rpos = (
-        jnp.zeros((C * R * R * R * slots, 3), dtype)
-        .at[dest.reshape(-1)]
-        .set(pos_sorted.reshape(-1, 3), mode="drop")
-        .reshape(C, R, R, R, slots, 3)
-    )
-    rval = (
-        jnp.zeros((C * R * R * R * slots,), dtype)
-        .at[dest.reshape(-1)]
-        .set(val_sorted.reshape(-1), mode="drop")
-        .reshape(C, R, R, R, slots)
-    )
+    dest_f = dest.reshape(-1)
 
-    # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around core cells.
-    pw = ((0, 0), (1, 1), (1, 1), (1, 1))
-    rpos = jnp.pad(rpos, pw + ((0, 0), (0, 0)))
-    rval = jnp.pad(rval, pw + ((0, 0),))
+    def raster(component_sorted):
+        return (
+            jnp.zeros((C * slots * R * R * R,), dtype)
+            .at[dest_f]
+            .set(component_sorted.reshape(-1), mode="drop", unique_indices=True)
+            .reshape(C, slots, R, R, R)
+        )
 
-    offs = jnp.asarray(density_mod.gather_cell_offsets(hsc) + (m + 1))
-    mn = jnp.asarray(g.min, dtype)
-    cs = jnp.asarray(g.cell_size, dtype)
-    h = jnp.asarray(compact_support_radius, dtype)
-    zero = jnp.int32(0)
+    rx = raster(jnp.take_along_axis(pxs[0], sort_idx, axis=1))
+    ry = raster(jnp.take_along_axis(pxs[1], sort_idx, axis=1))
+    rz = raster(jnp.take_along_axis(pxs[2], sort_idx, axis=1))
+    rv = raster(val_sorted)
 
-    def sweep_one(rpos_s, rval_s, sijk):
-        gx = (jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0) + sijk[0] * n_sub).astype(dtype)
-        gy = (jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1) + sijk[1] * n_sub).astype(dtype)
-        gz = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2) + sijk[2] * n_sub).astype(dtype)
-        px = mn[0] + gx * cs
-        py = mn[1] + gy * cs
-        pz = mn[2] + gz * cs
+    # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around base cells.
+    pw = ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1))
+    rx, ry, rz, rv = (jnp.pad(a, pw) for a in (rx, ry, rz, rv))
+
+    offs = density_mod.gather_cell_offsets(hsc) + (m + 1)  # static, host-side
+
+    # Point coordinates from global indices (broadcast components).
+    sx = sub_ijk[:, 0][:, None, None, None] * n_sub
+    sy = sub_ijk[:, 1][:, None, None, None] * n_sub
+    sz = sub_ijk[:, 2][:, None, None, None] * n_sub
+    gx = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1, 1), 1) + sx
+    gy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P, 1), 2) + sy
+    gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, P), 3) + sz
+    px = mn[0] + gx.astype(dtype) * cs  # (C, P, 1, 1)
+    py = mn[1] + gy.astype(dtype) * cs
+    pz = mn[2] + gz.astype(dtype) * cs
+
+    if unroll:
+        # TPU path: statically unrolled shifted windows, zero dynamic slicing
+        acc = jnp.zeros((C, P, P, P), dtype)
+        for s in range(slots):
+            for o0, o1, o2 in offs:
+                o0, o1, o2 = int(o0), int(o1), int(o2)
+                wx = rx[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
+                wy = ry[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
+                wz = rz[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
+                wv = rv[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
+                dx = wx - px
+                dy = wy - py
+                dz = wz - pz
+                d2 = dx * dx + dy * dy + dz * dz
+                acc = acc + kernels.cubic_kernel(jnp.sqrt(d2), h) * wv
+        ls = acc
+    else:
+        # compile-fast path (host tests): scan with dynamic slices
+        offs_j = jnp.asarray(offs, jnp.int32)
+        zero = jnp.int32(0)
 
         def body(acc, o):
-            sp = jax.lax.dynamic_slice(rpos_s, (o[0], o[1], o[2], zero, zero), (P, P, P, slots, 3))
-            sv = jax.lax.dynamic_slice(rval_s, (o[0], o[1], o[2], zero), (P, P, P, slots))
-            dx = sp[..., 0] - px[..., None]
-            dy = sp[..., 1] - py[..., None]
-            dz = sp[..., 2] - pz[..., None]
+            sizes = (C, slots, P, P, P)
+            starts = (zero, zero, o[0], o[1], o[2])
+            wx = jax.lax.dynamic_slice(rx, starts, sizes)
+            wy = jax.lax.dynamic_slice(ry, starts, sizes)
+            wz = jax.lax.dynamic_slice(rz, starts, sizes)
+            wv = jax.lax.dynamic_slice(rv, starts, sizes)
+            dx = wx - px[:, None]
+            dy = wy - py[:, None]
+            dz = wz - pz[:, None]
             d2 = dx * dx + dy * dy + dz * dz
-            w = kernels.cubic_kernel(jnp.sqrt(d2), h) * sv
-            return acc + jnp.sum(w, axis=-1), None
+            w = kernels.cubic_kernel(jnp.sqrt(d2), h) * wv
+            return acc + jnp.sum(w, axis=1), None
 
-        out, _ = jax.lax.scan(body, jnp.zeros((P, P, P), dtype), offs)
-        return out
+        ls, _ = jax.lax.scan(body, jnp.zeros((C, P, P, P), dtype), offs_j)
 
-    ls = jax.vmap(sweep_one)(rpos, rval, sub_ijk)
-
-    # Overflow -> scatter path (indices of overflowing particles, else N dummy).
+    # Overflow -> scatter path, compacted per row to a small capacity so the
+    # fallback costs nothing when (almost) no cell exceeds the slot count.
+    O_CAP = 256
     n_dummy = positions_ext.shape[0] - 1
     pid_sorted = jnp.take_along_axis(plists, sort_idx, axis=1)
     over = (~ok) & (cf_sorted < R * R * R) & (pid_sorted != n_dummy)
-    over_lists = jnp.where(over, pid_sorted, n_dummy)
+    over_rank = jnp.cumsum(over, axis=1) - 1
+    over_dest = jnp.where(over & (over_rank < O_CAP), row * O_CAP + over_rank, C * O_CAP)
+    over_lists = (
+        jnp.full((C * O_CAP,), n_dummy, jnp.int32)
+        .at[over_dest.reshape(-1)]
+        .set(pid_sorted.reshape(-1), mode="drop", unique_indices=True)
+        .reshape(C, O_CAP)
+    )
     ls_over = chunk_levelset_scatter(
         positions_ext, values_ext, over_lists, sub_ijk, sd, compact_support_radius, hsc
     )
-    return ls + ls_over, jnp.sum(over).astype(jnp.int32)
+    # max per-row overflow: caller must fall back to the scatter path if it
+    # exceeds O_CAP (extremely compressed cells).
+    max_row_over = jnp.max(jnp.sum(over, axis=1)).astype(jnp.int32)
+    return ls + ls_over, max_row_over
 
 
 # ---------------------------------------------------------------------------
@@ -409,100 +457,132 @@ def chunk_mc_counts(ls, sd: SubdomainGridParams, iso):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "sd",
-        "vertex_capacity",
-        "triangle_capacity",
-        "pack_vertex_capacity",
-        "pack_triangle_capacity",
-    ),
+    static_argnames=("sd", "pack_vertex_capacity", "pack_triangle_capacity"),
 )
 def chunk_mc(
     ls,
     sub_ijk,
     sd: SubdomainGridParams,
     iso,
-    vertex_capacity: int,
-    triangle_capacity: int,
     pack_vertex_capacity: int,
     pack_triangle_capacity: int,
 ):
-    """Batched MC over a chunk, with device-side compaction.
+    """Batched marching cubes over a chunk, fused across the batch axis.
 
-    The per-subdomain padded outputs are packed into flat chunk-level
-    arrays (vertices, int32 edge-key halves, triangles with chunk-local
-    vertex indices) so only exact-size data crosses the host link — padded
-    per-subdomain transfers through the TPU tunnel dominated the frame time
-    otherwise. Returns
-    (vx, vy, vz, key_hi, key_lo, t0, t1, t2, total_v, total_t, nv, nt).
+    Instead of vmapping per-subdomain MC and packing afterwards, the batch
+    dimension is folded into the flat edge/cell index space: one cumsum over
+    the whole chunk compacts vertices and triangles directly into exact-size
+    output arrays (single big unique-index scatters, no vmapped scatters, no
+    separate pack step). Only exact-size data crosses the host link.
+
+    Returns (vx, vy, vz, key_hi, key_lo, t0, t1, t2, total_v, total_t).
+    Edge keys are split into int32 halves hi = gi*npy + gj, lo = gk*3 + axis
+    (combined to int64 on the host for stitching).
     """
     g = sd.global_grid
     P = sd.points_per_dim
-    mn = jnp.asarray(g.min)
-    cs = g.cell_size
+    n_sub = sd.n_sub
+    dtype = ls.dtype
+    C = ls.shape[0]
     _npx, npy, npz = g.n_points
+    mn = [jnp.asarray(g.min[d], dtype) for d in range(3)]
+    cs = jnp.asarray(g.cell_size, dtype)
+    iso = jnp.asarray(iso, dtype)
+    inside = ls >= iso  # (C, P, P, P)
+    sub_base = [sub_ijk[:, d] * n_sub for d in range(3)]  # 3 x (C,) int32
 
-    def one(v, sijk):
-        res = mc_dense.marching_cubes_padded(
-            v,
-            iso,
-            mn.astype(v.dtype),
-            cs,
-            vertex_capacity=vertex_capacity,
-            triangle_capacity=triangle_capacity,
-            index_offset=sijk * sd.n_sub,
+    # --- vertices: one per active edge, per axis, batch-fused -------------
+    masks, pxs, khis, klos = [], [[], [], []], [], []
+    for a in range(3):
+        sl0 = (slice(None),) + tuple(
+            slice(0, -1) if d == a else slice(None) for d in range(3)
         )
-        axis, ijk = mc_dense.decode_edge_flat(res.vertex_edges, (P, P, P))
-        gijk = ijk + (sijk * sd.n_sub)[None, :]
-        # Edge key split into two int32 halves (combined to int64 on host):
-        # hi = gi * npy + gj, lo = gk * 3 + axis.
-        key_hi = gijk[:, 0] * npy + gijk[:, 1]
-        key_lo = gijk[:, 2] * 3 + axis
-        return res.vertices, res.triangles, res.num_vertices, res.num_triangles, key_hi, key_lo
+        sl1 = (slice(None),) + tuple(
+            slice(1, None) if d == a else slice(None) for d in range(3)
+        )
+        v0 = ls[sl0]
+        v1 = ls[sl1]
+        m = inside[sl0] != inside[sl1]
+        denom = v1 - v0
+        t = jnp.clip(
+            (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom), 0.0, 1.0
+        )
+        shape = v0.shape  # (C, ...)
+        gidx = []
+        for d in range(3):
+            base = jax.lax.broadcasted_iota(jnp.int32, shape, d + 1)
+            gb = base + sub_base[d][:, None, None, None]
+            gidx.append(gb)
+            pos_d = mn[d] + gb.astype(dtype) * cs
+            if d == a:
+                pos_d = pos_d + t * cs
+            pxs[d].append(pos_d.reshape(C, -1))
+        khis.append((gidx[0] * npy + gidx[1]).reshape(C, -1))
+        klos.append((gidx[2] * 3 + a).reshape(C, -1))
+        masks.append(m.reshape(C, -1))
 
-    verts, tris, nv, nt, key_hi, key_lo = jax.vmap(one)(ls, sub_ijk)
+    # Row-major flat layout: edge_flat = c * E_local + local_edge_flat.
+    mask = jnp.concatenate(masks, axis=1).reshape(-1)
+    px = jnp.concatenate(pxs[0], axis=1).reshape(-1)
+    py = jnp.concatenate(pxs[1], axis=1).reshape(-1)
+    pz = jnp.concatenate(pxs[2], axis=1).reshape(-1)
+    khi = jnp.concatenate(khis, axis=1).reshape(-1)
+    klo = jnp.concatenate(klos, axis=1).reshape(-1)
 
-    C, Vc, _ = verts.shape
-    Tc = tris.shape[1]
-    voff = jnp.cumsum(nv) - nv
-    toff = jnp.cumsum(nt) - nt
-    total_v = voff[-1] + nv[-1]
-    total_t = toff[-1] + nt[-1]
+    vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total_v = (vidx[-1] + 1).astype(jnp.int32)
+    vdest = jnp.where(mask, vidx, pack_vertex_capacity)
+    scat = lambda vals, dt_: (
+        jnp.zeros((pack_vertex_capacity,), dt_)
+        .at[vdest]
+        .set(vals, mode="drop", unique_indices=True)
+    )
+    pvx, pvy, pvz = scat(px, dtype), scat(py, dtype), scat(pz, dtype)
+    phi, plo = scat(khi, jnp.int32), scat(klo, jnp.int32)
 
-    iv = jnp.arange(Vc, dtype=jnp.int32)[None, :]
-    vdest = jnp.where(iv < nv[:, None], voff[:, None] + iv, pack_vertex_capacity)
-    vdest_f = vdest.reshape(-1)
-    pvx = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
-        verts[:, :, 0].reshape(-1), mode="drop"
-    )
-    pvy = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
-        verts[:, :, 1].reshape(-1), mode="drop"
-    )
-    pvz = jnp.zeros((pack_vertex_capacity,), ls.dtype).at[vdest_f].set(
-        verts[:, :, 2].reshape(-1), mode="drop"
-    )
-    phi = jnp.zeros((pack_vertex_capacity,), jnp.int32).at[vdest_f].set(
-        key_hi.reshape(-1), mode="drop"
-    )
-    plo = jnp.zeros((pack_vertex_capacity,), jnp.int32).at[vdest_f].set(
-        key_lo.reshape(-1), mode="drop"
-    )
+    # --- triangles: batch-fused case gather + compaction ------------------
+    case = jnp.zeros((C, P - 1, P - 1, P - 1), jnp.int32)
+    for c8 in range(8):
+        oi, oj, ok = (c8 >> 2) & 1, (c8 >> 1) & 1, c8 & 1
+        corner = inside[:, oi : oi + P - 1, oj : oj + P - 1, ok : ok + P - 1]
+        case = case | (corner.astype(jnp.int32) << c8)
+    case_flat = case.reshape(-1)  # (C * cells,)
+    counts = jnp.asarray(mc.TRI_COUNT, jnp.int32)[case_flat]
+    offsets = jnp.cumsum(counts) - counts
+    total_t = (offsets[-1] + counts[-1]).astype(jnp.int32)
 
-    it = jnp.arange(Tc, dtype=jnp.int32)[None, :]
-    tdest = jnp.where(it < nt[:, None], toff[:, None] + it, pack_triangle_capacity)
-    tdest_f = tdest.reshape(-1)
-    tcols = []
+    const, ci_c, cj_c, ck_c = mc_dense._local_edge_coeffs((P, P, P))
+    shapes, strides, axoffs, e_local = mc_dense.edge_layout((P, P, P))
+    cells = (C, P - 1, P - 1, P - 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, cells, 0).reshape(-1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, cells, 1).reshape(-1)
+    cj = jax.lax.broadcasted_iota(jnp.int32, cells, 2).reshape(-1)
+    ck = jax.lax.broadcasted_iota(jnp.int32, cells, 3).reshape(-1)
+    row_off = row * e_local
+
+    n_slots = mc.TRI_TABLE.shape[1]
+    tcols = [jnp.zeros((pack_triangle_capacity,), jnp.int32) for _ in range(3)]
     for corner in range(3):
-        shifted = tris[:, :, corner] + voff[:, None]  # chunk-local vertex ids
-        tcols.append(
-            jnp.zeros((pack_triangle_capacity,), jnp.int32)
-            .at[tdest_f]
-            .set(shifted.reshape(-1), mode="drop")
+        tab = np.where(
+            mc.TRI_TABLE[:, :, corner] >= 0, mc.TRI_TABLE[:, :, corner], 0
         )
+        for s in range(n_slots):
+            local = jnp.asarray(tab[:, s], jnp.int32)[case_flat]
+            edge_flat = (
+                row_off
+                + jnp.asarray(const)[local]
+                + jnp.asarray(ci_c)[local] * ci
+                + jnp.asarray(cj_c)[local] * cj
+                + jnp.asarray(ck_c)[local] * ck
+            )
+            tvidx = vidx[edge_flat]
+            dest_s = jnp.where(s < counts, offsets + s, pack_triangle_capacity)
+            tcols[corner] = tcols[corner].at[dest_s].set(
+                tvidx, mode="drop", unique_indices=True
+            )
 
     return (
-        pvx, pvy, pvz, phi, plo, tcols[0], tcols[1], tcols[2],
-        total_v.astype(jnp.int32), total_t.astype(jnp.int32), nv, nt,
+        pvx, pvy, pvz, phi, plo, tcols[0], tcols[1], tcols[2], total_v, total_t,
     )
 
 
@@ -521,7 +601,7 @@ def reconstruct_surface_subdomain_grid(
     grid: UniformGrid,
     particle_inside_aabb: Optional[np.ndarray] = None,
     chunk_size: int = 32,
-    raster_threshold: int = 8192,
+    raster_threshold: Optional[int] = None,
 ) -> SurfaceReconstruction:
     positions = jnp.asarray(positions)
     n = positions.shape[0]
@@ -577,6 +657,14 @@ def reconstruct_surface_subdomain_grid(
         axis=1,
     ).astype(np.int32)
 
+    # Splat routing: the raster sweep (no scatters) is the TPU fast path;
+    # host/CPU runs default to the compile-fast scatter path.
+    on_tpu = jax.default_backend() == "tpu"
+    unroll = on_tpu
+    if raster_threshold is None:
+        threshold = 0 if on_tpu else (1 << 30)
+    else:
+        threshold = raster_threshold
     prof_splat = profile("level set splat")
     prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
@@ -610,14 +698,21 @@ def reconstruct_surface_subdomain_grid(
             pid_s, starts_d, jnp.asarray(occ_counts), jnp.asarray(rows), K, n
         )
         sub_ijk = jnp.asarray(sub_ijk_all[rows])
-        if K <= raster_threshold:
+        if K <= threshold:
             ls = chunk_levelset_scatter(
                 positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
             )
         else:
-            ls, _n_over = chunk_levelset_raster(
-                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+            ls, max_row_over = chunk_levelset_raster(
+                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc,
+                unroll=unroll,
             )
+            if int(max_row_over) > 256:
+                # pathological cell occupancy: redo this chunk exactly via
+                # the scatter path
+                ls = chunk_levelset_scatter(
+                    positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+                )
         ls_parts.append(ls[: j - i])
         part_rows.append(order[i:j])
         i = j
@@ -657,8 +752,6 @@ def reconstruct_surface_subdomain_grid(
     v_running = 0
     # One set of capacities for ALL chunks: remote TPU compiles are far more
     # expensive than the padding waste of uniform shapes.
-    vc = _pow2_at_least(int(nv_all.max()))
-    tc = _pow2_at_least(int(nt_all.max()))
     chunk_sums_v = [
         int(nv_all[mc_order[i : i + chunk_size]].sum()) for i in range(0, B, chunk_size)
     ]
@@ -680,8 +773,6 @@ def reconstruct_surface_subdomain_grid(
             jnp.asarray(sub_ijk_ext[rows_p]),
             sd,
             jnp.asarray(iso, dtype),
-            vertex_capacity=vc,
-            triangle_capacity=tc,
             pack_vertex_capacity=pack_vc,
             pack_triangle_capacity=pack_tc,
         )
