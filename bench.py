@@ -50,6 +50,10 @@ def main():
     import jax
 
     import splashsurf_tpu as st
+    from splashsurf_tpu.workspace import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     radius = 0.011
     pts = make_dam_break(args.n, radius)

@@ -158,6 +158,9 @@ def initialize_logging(quiet: bool, verbose: int):
 def run_splashsurf(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
     initialize_logging(args.quiet, args.verbose)
+    from splashsurf_tpu.workspace import enable_persistent_cache
+
+    enable_persistent_cache()
     t0 = time.perf_counter()
     try:
         if args.command == "reconstruct":
@@ -279,7 +282,7 @@ def reconstruct_subcommand(args) -> int:
 
         jobs = [SequencePaths(input_file=inp, output_file=out)]
 
-    for job in jobs:
+    def run_job(job):
         logger.info("Reconstructing %s -> %s", job.input_file, job.output_file)
         positions, attributes = st_io.particles_with_attributes_from_file(
             job.input_file, dtype=parameters.np_dtype
@@ -298,6 +301,18 @@ def reconstruct_subcommand(args) -> int:
         logger.info(
             "Wrote surface mesh: %d vertices, %d cells", len(m.vertices), n_cells
         )
+
+    if args.mt_files and len(jobs) > 1:
+        # Parallel over files (reconstruct.rs:405-432): IO/host post-proc of
+        # different frames overlaps; device work serializes on the TPU.
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = args.num_threads or min(4, len(jobs))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(run_job, jobs))
+    else:
+        for job in jobs:
+            run_job(job)
     return 0
 
 

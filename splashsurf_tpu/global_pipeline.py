@@ -56,9 +56,26 @@ def reconstruct_surface_global(
         grid.min,
     )
 
+    particle_neighbors = None
+    if parameters.global_neighborhood_list:
+        lists = neighbors.neighborhood_search_spatial_hashing_parallel(
+            positions, parameters.compact_support_radius
+        )
+        particle_neighbors = _lists_to_csr(lists)
+
     return SurfaceReconstruction(
         grid=grid,
         mesh=mesh,
         particle_densities=np.asarray(rho),
+        particle_neighbors=particle_neighbors,
         particle_inside_aabb=particle_inside_aabb,
     )
+
+
+def _lists_to_csr(lists):
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=offsets[1:])
+    indices = (
+        np.concatenate(lists) if lists else np.zeros(0, np.int32)
+    ).astype(np.int32)
+    return offsets, indices

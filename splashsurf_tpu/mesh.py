@@ -188,6 +188,55 @@ def vertex_vertex_connectivity_csr(triangles: np.ndarray, num_vertices: int):
     return offsets, dst_u
 
 
+def vertex_cell_connectivity(triangles: np.ndarray, num_vertices: int):
+    """Per-vertex incident triangle lists (mesh.rs vertex_cell_connectivity).
+
+    Returns a ragged list of int arrays.
+    """
+    tris = np.asarray(triangles, dtype=np.int64)
+    t_ids = np.repeat(np.arange(len(tris)), 3)
+    v_ids = tris.ravel()
+    order = np.argsort(v_ids, kind="stable")
+    v_sorted, t_sorted = v_ids[order], t_ids[order]
+    starts = np.searchsorted(v_sorted, np.arange(num_vertices))
+    ends = np.searchsorted(v_sorted, np.arange(num_vertices) + 1)
+    return [t_sorted[s:e] for s, e in zip(starts, ends)]
+
+
+def density_map_to_hex_mesh(levelset: np.ndarray, grid, threshold: float):
+    """Debug output: one hexahedral cell per grid point above threshold
+    (density_map.rs:741-827 ``sparse_density_map_to_hex_mesh`` analog).
+
+    Returns (vertices (V, 3), hex cells (H, 8) int32, point values (H,)).
+    """
+    values = np.asarray(levelset)
+    pts = np.argwhere(values > threshold)
+    if len(pts) == 0:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 8), np.int32),
+            np.zeros((0,), values.dtype),
+        )
+    mn = np.asarray(grid.min)
+    cs = grid.cell_size
+    corner_offsets = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ]
+    )
+    corners = pts[:, None, :] + corner_offsets[None, :, :] - 0.5
+    verts_all = (mn + corners * cs).reshape(-1, 3).astype(np.float32)
+    keyed = corners.reshape(-1, 3)
+    _, first, inverse = np.unique(
+        keyed.view([("", keyed.dtype)] * 3), return_index=True, return_inverse=True
+    )
+    vertices = verts_all[first]
+    cells = inverse.reshape(-1, 8).astype(np.int32)
+    vals = values[pts[:, 0], pts[:, 1], pts[:, 2]]
+    return vertices, cells, vals
+
+
 def edge_information(triangles: np.ndarray):
     """Unique undirected edges and their incident-triangle counts (host).
 

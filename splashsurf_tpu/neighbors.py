@@ -258,13 +258,21 @@ def compute_particle_densities_binned(
     sorted_comp = [cell_list.sorted_positions[:, d] for d in range(3)]
     p_comp = [p[:, d] for d in range(3)]
 
-    def body(acc, offset):
-        nb = qb + offset[None, :]
-        valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)
-        nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))
-        starts = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="left")
-        ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
-        counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
+    # Hoist the binary searches out of the stencil loop: two vectorized
+    # searchsorted calls over (27, N) instead of 54 over (N,).
+    nb = qb[None, :, :] + jnp.asarray(_STENCIL)[:, None, :]  # (27, N, 3)
+    valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)  # (27, N)
+    nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))  # (27, N)
+    starts_all = jnp.searchsorted(
+        cell_list.sorted_bins, nb_flat.reshape(-1), side="left"
+    ).reshape(27, n)
+    ends_all = jnp.searchsorted(
+        cell_list.sorted_bins, nb_flat.reshape(-1), side="right"
+    ).reshape(27, n)
+    counts_all = jnp.where(valid, (ends_all - starts_all).astype(jnp.int32), 0)
+
+    def body(acc, se):
+        starts, counts = se
         gather_pos = jnp.clip(
             starts.astype(jnp.int32)[None, :] + slot[:, None], 0, max(n - 1, 0)
         )  # (K, N)
@@ -276,7 +284,9 @@ def compute_particle_densities_binned(
         w = kernels.cubic_kernel(jnp.sqrt(d2), h)
         return acc + jnp.sum(jnp.where(mask, w, 0), axis=0), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((n,), p.dtype), jnp.asarray(_STENCIL))
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n,), p.dtype), (starts_all, counts_all)
+    )
     return jnp.asarray(particle_rest_mass, p.dtype) * acc
 
 

@@ -489,10 +489,12 @@ def chunk_mc(
     cs = jnp.asarray(g.cell_size, dtype)
     iso = jnp.asarray(iso, dtype)
     inside = ls >= iso  # (C, P, P, P)
-    sub_base = [sub_ijk[:, d] * n_sub for d in range(3)]  # 3 x (C,) int32
+    ls_flat = ls.reshape(-1)
 
-    # --- vertices: one per active edge, per axis, batch-fused -------------
-    masks, pxs, khis, klos = [], [[], [], []], [], []
+    # --- phase 1: active-edge compaction ---------------------------------
+    # Only the edge mask is computed densely; everything else (positions,
+    # keys, endpoint values) happens on the ~1% compacted active set.
+    masks = []
     for a in range(3):
         sl0 = (slice(None),) + tuple(
             slice(0, -1) if d == a else slice(None) for d in range(3)
@@ -500,47 +502,47 @@ def chunk_mc(
         sl1 = (slice(None),) + tuple(
             slice(1, None) if d == a else slice(None) for d in range(3)
         )
-        v0 = ls[sl0]
-        v1 = ls[sl1]
-        m = inside[sl0] != inside[sl1]
-        denom = v1 - v0
-        t = jnp.clip(
-            (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom), 0.0, 1.0
-        )
-        shape = v0.shape  # (C, ...)
-        gidx = []
-        for d in range(3):
-            base = jax.lax.broadcasted_iota(jnp.int32, shape, d + 1)
-            gb = base + sub_base[d][:, None, None, None]
-            gidx.append(gb)
-            pos_d = mn[d] + gb.astype(dtype) * cs
-            if d == a:
-                pos_d = pos_d + t * cs
-            pxs[d].append(pos_d.reshape(C, -1))
-        khis.append((gidx[0] * npy + gidx[1]).reshape(C, -1))
-        klos.append((gidx[2] * 3 + a).reshape(C, -1))
-        masks.append(m.reshape(C, -1))
-
+        masks.append((inside[sl0] != inside[sl1]).reshape(C, -1))
     # Row-major flat layout: edge_flat = c * E_local + local_edge_flat.
     mask = jnp.concatenate(masks, axis=1).reshape(-1)
-    px = jnp.concatenate(pxs[0], axis=1).reshape(-1)
-    py = jnp.concatenate(pxs[1], axis=1).reshape(-1)
-    pz = jnp.concatenate(pxs[2], axis=1).reshape(-1)
-    khi = jnp.concatenate(khis, axis=1).reshape(-1)
-    klo = jnp.concatenate(klos, axis=1).reshape(-1)
-
     vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
     total_v = (vidx[-1] + 1).astype(jnp.int32)
     vdest = jnp.where(mask, vidx, pack_vertex_capacity)
-    scat = lambda vals, dt_: (
-        jnp.zeros((pack_vertex_capacity,), dt_)
+    n_edges = mask.shape[0]
+    active_edge = (
+        jnp.zeros((pack_vertex_capacity,), jnp.int32)
         .at[vdest]
-        .set(vals, mode="drop", unique_indices=True)
+        .set(
+            jnp.arange(n_edges, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
     )
-    pvx, pvy, pvz = scat(px, dtype), scat(py, dtype), scat(pz, dtype)
-    phi, plo = scat(khi, jnp.int32), scat(klo, jnp.int32)
 
-    # --- triangles: batch-fused case gather + compaction ------------------
+    # --- phase 2: vertex data on the active set ---------------------------
+    shapes, strides, axoffs, e_local = mc_dense.edge_layout((P, P, P))
+    row = active_edge // e_local
+    axis, ijk = mc_dense.decode_edge_flat(active_edge % e_local, (P, P, P))
+    sub_base = sub_ijk[row] * n_sub  # (A, 3)
+    gijk = ijk + sub_base
+    khi = gijk[:, 0] * npy + gijk[:, 1]
+    klo = gijk[:, 2] * 3 + axis
+    # endpoint values from the level set
+    p_flat0 = row * (P * P * P) + (ijk[:, 0] * P + ijk[:, 1]) * P + ijk[:, 2]
+    step = jnp.where(axis == 0, P * P, jnp.where(axis == 1, P, 1))
+    v0 = ls_flat[p_flat0]
+    v1 = ls_flat[p_flat0 + step]
+    denom = v1 - v0
+    t = jnp.clip(
+        (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom), 0.0, 1.0
+    )
+    pvs = []
+    for d in range(3):
+        pos_d = mn[d] + gijk[:, d].astype(dtype) * cs
+        pos_d = pos_d + jnp.where(axis == d, t, 0) * cs
+        pvs.append(pos_d)
+    pvx, pvy, pvz = pvs
+    phi, plo = khi.astype(jnp.int32), klo.astype(jnp.int32)
+
+    # --- phase 3: active-cell compaction + triangle emission --------------
     case = jnp.zeros((C, P - 1, P - 1, P - 1), jnp.int32)
     for c8 in range(8):
         oi, oj, ok = (c8 >> 2) & 1, (c8 >> 1) & 1, c8 & 1
@@ -551,35 +553,56 @@ def chunk_mc(
     offsets = jnp.cumsum(counts) - counts
     total_t = (offsets[-1] + counts[-1]).astype(jnp.int32)
 
-    const, ci_c, cj_c, ck_c = mc_dense._local_edge_coeffs((P, P, P))
-    shapes, strides, axoffs, e_local = mc_dense.edge_layout((P, P, P))
-    cells = (C, P - 1, P - 1, P - 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, cells, 0).reshape(-1)
-    ci = jax.lax.broadcasted_iota(jnp.int32, cells, 1).reshape(-1)
-    cj = jax.lax.broadcasted_iota(jnp.int32, cells, 2).reshape(-1)
-    ck = jax.lax.broadcasted_iota(jnp.int32, cells, 3).reshape(-1)
-    row_off = row * e_local
-
-    n_slots = mc.TRI_TABLE.shape[1]
-    tcols = [jnp.zeros((pack_triangle_capacity,), jnp.int32) for _ in range(3)]
-    for corner in range(3):
-        tab = np.where(
-            mc.TRI_TABLE[:, :, corner] >= 0, mc.TRI_TABLE[:, :, corner], 0
+    # Compact active cells: every active cell emits >= 1 triangle, so the
+    # triangle offset itself indexes a compact active-cell table (bounded by
+    # the triangle capacity).
+    n_cells_flat = case_flat.shape[0]
+    cdest = jnp.where(counts > 0, offsets, pack_triangle_capacity)
+    active_cell = (
+        jnp.zeros((pack_triangle_capacity,), jnp.int32)
+        .at[cdest]
+        .set(
+            jnp.arange(n_cells_flat, dtype=jnp.int32),
+            mode="drop",
+            unique_indices=True,
         )
-        for s in range(n_slots):
-            local = jnp.asarray(tab[:, s], jnp.int32)[case_flat]
-            edge_flat = (
-                row_off
-                + jnp.asarray(const)[local]
-                + jnp.asarray(ci_c)[local] * ci
-                + jnp.asarray(cj_c)[local] * cj
-                + jnp.asarray(ck_c)[local] * ck
-            )
-            tvidx = vidx[edge_flat]
-            dest_s = jnp.where(s < counts, offsets + s, pack_triangle_capacity)
-            tcols[corner] = tcols[corner].at[dest_s].set(
-                tvidx, mode="drop", unique_indices=True
-            )
+    )
+    # Forward-fill: slot k of cell with offset o lands at o + k; positions
+    # between offsets belong to the previous active cell.
+    active_cell = jax.lax.associative_scan(jnp.maximum, active_cell)
+    acase = case_flat[active_cell]
+    acounts = counts[active_cell]
+    aoffsets = offsets[active_cell]
+    slot_in_cell = jnp.arange(pack_triangle_capacity, dtype=jnp.int32) - aoffsets
+    emit = slot_in_cell < acounts  # also False past total_t
+
+    cells_dims = (P - 1, P - 1, P - 1)
+    cell_local = active_cell % (cells_dims[0] * cells_dims[1] * cells_dims[2])
+    arow = active_cell // (cells_dims[0] * cells_dims[1] * cells_dims[2])
+    aci = cell_local // (cells_dims[1] * cells_dims[2])
+    acj = (cell_local // cells_dims[2]) % cells_dims[1]
+    ack = cell_local % cells_dims[2]
+    arow_off = arow * e_local
+
+    const, ci_c, cj_c, ck_c = mc_dense._local_edge_coeffs((P, P, P))
+    # Per-(slot, corner) edge table flattened: gather local edge id by
+    # (case, slot) then affine-map to the flat edge id.
+    n_slots = mc.TRI_TABLE.shape[1]
+    tri_tab = np.where(mc.TRI_TABLE >= 0, mc.TRI_TABLE, 0)  # (256, M, 3)
+    safe_slot = jnp.clip(slot_in_cell, 0, n_slots - 1)
+    tcols = []
+    for corner in range(3):
+        tab = jnp.asarray(tri_tab[:, :, corner], jnp.int32)  # (256, M)
+        local = tab[acase, safe_slot]
+        edge_flat = (
+            arow_off
+            + jnp.asarray(const)[local]
+            + jnp.asarray(ci_c)[local] * aci
+            + jnp.asarray(cj_c)[local] * acj
+            + jnp.asarray(ck_c)[local] * ack
+        )
+        tvidx = vidx[edge_flat]
+        tcols.append(jnp.where(emit, tvidx, 0))
 
     return (
         pvx, pvy, pvz, phi, plo, tcols[0], tcols[1], tcols[2], total_v, total_t,
@@ -803,11 +826,21 @@ def reconstruct_surface_subdomain_grid(
             np.concatenate(all_t) if all_t else np.zeros((0, 3), np.int64),
         )
 
+    particle_neighbors = None
+    if parameters.global_neighborhood_list:
+        from splashsurf_tpu.global_pipeline import _lists_to_csr
+
+        lists = neighbors.neighborhood_search_spatial_hashing_parallel(
+            positions, support
+        )
+        particle_neighbors = _lists_to_csr(lists)
+
     return SurfaceReconstruction(
         grid=sd.global_grid,
         subdomain_grid=sd.subdomain_grid,
         mesh=mesh,
         particle_densities=np.asarray(rho),
+        particle_neighbors=particle_neighbors,
         particle_inside_aabb=particle_inside_aabb,
     )
 

@@ -166,3 +166,77 @@ class TestParameters:
     def test_hashable_static_arg(self):
         p = Parameters.new(0.025, 0.1, 0.05)
         assert hash(p) == hash(Parameters.new(0.025, 0.1, 0.05))
+
+
+class TestDoublePrecision:
+    def test_f64_reconstruction(self):
+        # The reference is generic over f32/f64; verify the f64 path
+        # end-to-end (requires the x64 flag, enabled in conftest).
+        import splashsurf_tpu as st
+        from splashsurf_tpu.mesh import check_mesh_consistency
+        from splashsurf_tpu.params import SpatialDecomposition
+
+        rng = np.random.default_rng(11)
+        points = rng.uniform(0, 0.2, (300, 3))
+        p = st.Parameters.new_relative(
+            0.02, 4.0, 1.0, dtype="float64",
+            spatial_decomposition=SpatialDecomposition.NONE,
+        )
+        rec = st.reconstruct_surface(points, p)
+        assert rec.mesh.vertices.dtype == np.float64
+        assert rec.particle_densities.dtype == np.float64
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+
+class TestWorkspace:
+    def test_persistent_cache_setup(self, tmp_path):
+        from splashsurf_tpu.workspace import enable_persistent_cache
+
+        d = enable_persistent_cache(str(tmp_path / "cache"))
+        import os
+
+        assert os.path.isdir(d)
+
+    def test_memory_stats(self):
+        from splashsurf_tpu.workspace import device_memory_stats
+
+        assert isinstance(device_memory_stats(), dict)
+
+
+class TestTopology:
+    def test_directed_axes(self):
+        from splashsurf_tpu.topology import Axis, DirectedAxis, Direction, checked_apply_step
+
+        assert len(DirectedAxis.all()) == 6
+        da = DirectedAxis(Axis.X, Direction.POSITIVE)
+        np.testing.assert_array_equal(da.offset, [1, 0, 0])
+        np.testing.assert_array_equal(da.opposite().offset, [-1, 0, 0])
+        assert checked_apply_step([0, 0, 0], da.opposite(), (4, 4, 4)) is None
+        np.testing.assert_array_equal(
+            checked_apply_step([1, 1, 1], da, (4, 4, 4)), [2, 1, 1]
+        )
+        assert Axis.Y.orthogonal_axes() == (Axis.X, Axis.Z)
+
+
+class TestMeshUtils:
+    def test_vertex_cell_connectivity(self):
+        from splashsurf_tpu.mesh import vertex_cell_connectivity
+
+        tris = np.array([[0, 1, 2], [0, 2, 3]])
+        vc = vertex_cell_connectivity(tris, 4)
+        assert sorted(vc[0].tolist()) == [0, 1]
+        assert vc[1].tolist() == [0]
+        assert sorted(vc[2].tolist()) == [0, 1]
+
+    def test_density_map_to_hex_mesh(self):
+        from splashsurf_tpu.mesh import density_map_to_hex_mesh
+        from splashsurf_tpu import UniformGrid
+
+        grid = UniformGrid(min=(0.0, 0.0, 0.0), cell_size=1.0, n_cells=(3, 3, 3))
+        ls = np.zeros((4, 4, 4), np.float32)
+        ls[1, 1, 1] = 2.0
+        ls[2, 1, 1] = 3.0
+        verts, cells, vals = density_map_to_hex_mesh(ls, grid, 1.0)
+        assert cells.shape == (2, 8)
+        assert len(verts) == 12  # two adjacent hexes share 4 corners
+        assert sorted(vals.tolist()) == [2.0, 3.0]
