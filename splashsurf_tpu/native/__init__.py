@@ -1,0 +1,112 @@
+"""Native (C++) components: sequential mesh-topology hot paths.
+
+The collapse-based post-processing (MC cleanup, barnacle decimation) is
+inherently sequential host work; the C++ engine here runs it at native
+speed over flat arrays, loaded via ctypes. Falls back to the pure-Python
+half-edge implementation when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "halfedge.cpp")
+_LIB = os.path.join(_DIR, "libhalfedge.so")
+_LOCK = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building on first use) the native library, or None."""
+    global _lib, _tried
+    with _LOCK:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.mc_cleanup.restype = ctypes.c_int64
+        lib.mc_cleanup.argtypes = [
+            f64p, ctypes.c_int64, i64p, ctypes.c_int64,
+            i64p, f64p, ctypes.c_double, ctypes.c_int64, u8p, i64p,
+        ]
+        lib.process_collapses.restype = ctypes.c_int64
+        lib.process_collapses.argtypes = [
+            f64p, ctypes.c_int64, i64p, ctypes.c_int64,
+            i64p, ctypes.c_int64, u8p, i64p,
+        ]
+        lib.vertex_ring_sizes.restype = None
+        lib.vertex_ring_sizes.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def mc_cleanup(vertices, triangles, nearest_grid_point, grid_coords,
+               max_snap_distance_sq: float, max_iter: int):
+    """Run the native Moore/Warren cleanup. Returns
+    (vertices, triangles_raw, tri_valid, vert_owner, n_collapses)."""
+    lib = load()
+    verts = np.ascontiguousarray(vertices, dtype=np.float64)
+    tris = np.ascontiguousarray(triangles, dtype=np.int64)
+    ngp = np.ascontiguousarray(nearest_grid_point, dtype=np.int64)
+    gc = np.ascontiguousarray(grid_coords, dtype=np.float64)
+    tri_valid = np.zeros(len(tris), np.uint8)
+    owner = np.zeros(len(verts), np.int64)
+    n = lib.mc_cleanup(
+        verts, len(verts), tris, len(tris), ngp, gc,
+        float(max_snap_distance_sq), int(max_iter), tri_valid, owner,
+    )
+    return verts, tris, tri_valid.astype(bool), owner, int(n)
+
+
+def process_collapses(vertices, triangles, pairs):
+    """Run a legality-checked collapse queue natively."""
+    lib = load()
+    verts = np.ascontiguousarray(vertices, dtype=np.float64)
+    tris = np.ascontiguousarray(triangles, dtype=np.int64)
+    pr = np.ascontiguousarray(pairs, dtype=np.int64).reshape(-1)
+    tri_valid = np.zeros(len(tris), np.uint8)
+    owner = np.zeros(len(verts), np.int64)
+    n = lib.process_collapses(
+        verts, len(verts), tris, len(tris), pr, len(pr) // 2, tri_valid, owner
+    )
+    return verts, tris, tri_valid.astype(bool), owner, int(n)
+
+
+def vertex_ring_sizes(triangles, num_vertices: int) -> np.ndarray:
+    lib = load()
+    tris = np.ascontiguousarray(triangles, dtype=np.int64)
+    out = np.zeros(num_vertices, np.int64)
+    lib.vertex_ring_sizes(tris, len(tris), num_vertices, out)
+    return out

@@ -140,6 +140,19 @@ def marching_cubes_cleanup(
         max_snap_sq = (max_rel_snap_distance * grid.cell_size) ** 2
     grid_coords = np.asarray(grid.min) + nearest * grid.cell_size
 
+    from splashsurf_tpu import native
+
+    if native.available():
+        v_out, t_raw, tri_valid, owner, _n = native.mc_cleanup(
+            verts,
+            mesh.triangles,
+            nearest_flat,
+            grid_coords,
+            -1.0 if max_snap_sq is None else max_snap_sq,
+            max_iter,
+        )
+        return _finalize_collapsed(v_out, t_raw, tri_valid, owner, keep_vertices)
+
     he = HalfEdgeTriMesh(verts, mesh.triangles)
     sum_count = np.ones(len(verts), dtype=np.int64)
 
@@ -177,6 +190,30 @@ def marching_cubes_cleanup(
     return he.into_parts(keep_vertices)
 
 
+def _finalize_collapsed(verts, tris_raw, tri_valid, owner, keep_vertices):
+    """Assemble a TriMesh3d + vertex_map from native collapse outputs."""
+    tris = tris_raw[tri_valid]
+    nv = len(verts)
+    merged_from = [[] for _ in range(nv)]
+    for v in range(nv):
+        merged_from[v if owner[v] < 0 else int(owner[v])].append(v)
+    if keep_vertices:
+        return (
+            TriMesh3d(verts.astype(np.float32), tris.astype(np.int32)),
+            merged_from,
+        )
+    used = np.zeros(nv, dtype=bool)
+    if len(tris):
+        used[tris.ravel()] = True
+    new_index = np.cumsum(used) - 1
+    mesh = TriMesh3d(
+        vertices=verts[used].astype(np.float32),
+        triangles=new_index[tris].astype(np.int32),
+    )
+    vertex_map = [merged_from[v] for v in np.nonzero(used)[0]]
+    return mesh, vertex_map
+
+
 # ---------------------------------------------------------------------------
 # barnacle decimation (host)
 # ---------------------------------------------------------------------------
@@ -184,10 +221,67 @@ def marching_cubes_cleanup(
 
 def decimation(mesh: TriMesh3d, keep_vertices: bool = False):
     """Merge "barnacle" sliver configurations (postprocessing.rs:244-263)."""
+    from splashsurf_tpu import native
+
+    if native.available():
+        return _decimation_native(mesh, keep_vertices)
     he = HalfEdgeTriMesh(mesh.vertices, mesh.triangles)
     merge_single_barnacle_configurations(he)
     merge_double_barnacle_configurations(he)
     return he.into_parts(keep_vertices)
+
+
+def _decimation_native(mesh: TriMesh3d, keep_vertices: bool):
+    """Barnacle decimation with candidate detection in Python (set logic on
+    ring sizes from the native helper) and collapses in C++."""
+    from splashsurf_tpu import native
+
+    he = HalfEdgeTriMesh(mesh.vertices, mesh.triangles)
+    # Candidate detection stays in Python (set logic over ring valences);
+    # the collapse execution runs natively.
+    collapses = _collect_single_barnacle_collapses(he) + _collect_double_barnacle_collapses(he)
+    if not collapses:
+        return he.into_parts(keep_vertices)
+    verts, tris_raw, tri_valid, owner, _n = native.process_collapses(
+        mesh.vertices, mesh.triangles, np.asarray(collapses, np.int64)
+    )
+    return _finalize_collapsed(verts, tris_raw, tri_valid, owner, keep_vertices)
+
+
+def _collect_single_barnacle_collapses(he: HalfEdgeTriMesh):
+    candidates = set()
+    for v in range(len(he.vertices)):
+        if not he.is_valid_vertex(v) or he.vertex_one_ring_len(v) != 4:
+            continue
+        lens = [he.vertex_one_ring_len(j) for j in he.adj[v]]
+        if all(4 <= l <= 6 for l in lens) and sum(lens) == 20:
+            candidates.add(v)
+    candidates = {
+        c for c in candidates if not any(j in candidates for j in he.adj[c])
+    }
+    collapses = {}
+    for c in candidates:
+        for i in list(he.adj[c]):
+            collapses[i] = c
+    return list(collapses.items())
+
+
+def _collect_double_barnacle_collapses(he: HalfEdgeTriMesh):
+    # reuse the detection logic of merge_double_barnacle_configurations but
+    # return the queue instead of executing it
+    collected = []
+
+    original = _process_collapse_queue_iterative
+
+    def capture(_he, collapses):
+        collected.extend(collapses)
+
+    try:
+        globals()["_process_collapse_queue_iterative"] = capture
+        merge_double_barnacle_configurations(he)
+    finally:
+        globals()["_process_collapse_queue_iterative"] = original
+    return collected
 
 
 def _process_collapse_queue(he: HalfEdgeTriMesh, collapses):

@@ -688,6 +688,9 @@ def reconstruct_surface_subdomain_grid(
         threshold = 0 if on_tpu else (1 << 30)
     else:
         threshold = raster_threshold
+    # The unrolled sweep keeps several (C, P^3) temporaries live; cap the
+    # raster batch so peak HBM stays well under the 16 GB of a v5e.
+    raster_chunk_cap = 8
     prof_splat = profile("level set splat")
     prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
@@ -711,9 +714,14 @@ def reconstruct_surface_subdomain_grid(
             j -= 1
         rows = order[i:j]
         K = _k_bucket(int(occ_counts[rows].max()))
+        if K > threshold and j - i > raster_chunk_cap:
+            j = i + raster_chunk_cap
+            rows = order[i:j]
+            K = _k_bucket(int(occ_counts[rows].max()))
         step = j - i
         # fixed batch size per K bucket: one jit shape per (C, K) combo
-        C = min(chunk_size, max(1, slot_budget // K))
+        cap = raster_chunk_cap if K > threshold else chunk_size
+        C = min(cap, max(1, slot_budget // K))
         if C > step:
             rows = np.concatenate([rows, np.full(C - step, rows[-1])])
         # gather particle lists on device

@@ -227,3 +227,42 @@ class TestSphInterpolation:
         assert smooth_step(0.0) == 0.0
         assert smooth_step(1.0) == 1.0
         assert abs(smooth_step(0.5) - 0.5) < 1e-12
+
+
+class TestNativeEngine:
+    def test_native_available_and_matches_python(self):
+        from splashsurf_tpu import native
+
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        mesh = _sphere_mesh(33)
+        from splashsurf_tpu.uniform_grid import UniformGrid
+        from splashsurf_tpu.aabb import Aabb3d
+
+        grid = UniformGrid.from_aabb(Aabb3d((-1.6,) * 3, (1.6,) * 3), 3.0 / 32)
+        cleaned_native, vmap_n = postprocess.marching_cubes_cleanup(mesh, grid)
+        # force the Python path on a fresh mesh
+        import splashsurf_tpu.native as nat
+
+        saved = (nat._lib, nat._tried)
+        try:
+            nat._lib, nat._tried = None, True
+            mesh2 = _sphere_mesh(33)
+            cleaned_py, vmap_p = postprocess.marching_cubes_cleanup(mesh2, grid)
+        finally:
+            nat._lib, nat._tried = saved
+        assert cleaned_native.num_triangles == cleaned_py.num_triangles
+        assert cleaned_native.num_vertices == cleaned_py.num_vertices
+        assert check_mesh_consistency(
+            cleaned_native.vertices, cleaned_native.triangles
+        ) is None
+        assert sum(len(m) for m in vmap_n) == mesh.num_vertices
+
+    def test_ring_sizes(self):
+        from splashsurf_tpu import native
+
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        rings = native.vertex_ring_sizes(tris, 4)
+        assert rings.tolist() == [3, 2, 3, 2]
