@@ -435,8 +435,32 @@ def _write_attributes_legacy(f, attributes: Optional[Dict[str, np.ndarray]], n: 
 
 
 def write_mesh_vtk(path: str, mesh, point_attributes=None) -> None:
-    """Write a triangle (or tri/quad) mesh as legacy binary VTK."""
+    """Write a triangle / tri-quad / hex / point-cloud mesh as legacy binary VTK."""
     verts = np.asarray(mesh.vertices)
+    hex_cells = getattr(mesh, "cells", None)
+    if hex_cells is not None and not hasattr(mesh, "triangles"):
+        # hexahedral mesh (VTK_HEXAHEDRON = 12)
+        hex_cells = np.asarray(hex_cells, dtype=np.int64)
+        with open(path, "wb") as f:
+            f.write(b"# vtk DataFile Version 4.2\n")
+            f.write(b"splashsurf_tpu hex mesh\n")
+            f.write(b"BINARY\nDATASET UNSTRUCTURED_GRID\n")
+            f.write(f"POINTS {len(verts)} float\n".encode())
+            f.write(np.ascontiguousarray(verts, dtype=">f4").tobytes())
+            f.write(b"\n")
+            n = len(hex_cells)
+            f.write(f"CELLS {n} {9 * n}\n".encode())
+            cells = np.column_stack([np.full(n, 8, np.int64), hex_cells])
+            f.write(np.ascontiguousarray(cells, dtype=">i4").tobytes())
+            f.write(b"\n")
+            f.write(f"CELL_TYPES {n}\n".encode())
+            f.write(np.full(n, 12, dtype=">i4").tobytes())
+            f.write(b"\n")
+            _write_attributes_legacy(f, point_attributes, len(verts))
+        return
+    if not hasattr(mesh, "triangles"):
+        write_particles_vtk(path, verts, point_attributes)
+        return
     with open(path, "wb") as f:
         f.write(b"# vtk DataFile Version 4.2\n")
         f.write(b"splashsurf_tpu surface mesh\n")

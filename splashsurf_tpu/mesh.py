@@ -109,6 +109,29 @@ class MixedTriQuadMesh3d:
 
 
 @dataclasses.dataclass
+class HexMesh3d:
+    """Hexahedral cell mesh (mesh.rs:241), used for debug density output."""
+
+    vertices: np.ndarray
+    cells: np.ndarray  # (H, 8) int32
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+
+@dataclasses.dataclass
+class PointCloud3d:
+    """Point cloud "mesh" (mesh.rs:250)."""
+
+    vertices: np.ndarray
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+
+@dataclasses.dataclass
 class MeshAttribute:
     """A named per-vertex (or per-cell) attribute (mesh.rs:162-184)."""
 

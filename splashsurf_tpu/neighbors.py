@@ -23,6 +23,8 @@ import numpy as np
 
 from splashsurf_tpu import kernels
 
+_INT32_MAX = np.int32(2**31 - 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class BinGrid:
@@ -88,12 +90,18 @@ def build_cell_list(positions, grid: BinGrid) -> CellList:
 
 def max_bin_occupancy(cell_list: CellList) -> int:
     """Largest particle count in any bin (host sync; sets gather capacity)."""
+    return bin_stats(cell_list)[0]
+
+
+def bin_stats(cell_list: CellList):
+    """(max occupancy, number of occupied bins) — one host sync."""
     sb = cell_list.sorted_bins
-    # Run-length of equal consecutive ids in the sorted array.
     change = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
     seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
     counts = jnp.zeros(sb.shape[0], jnp.int32).at[seg_id].add(1)
-    return int(jnp.max(counts))
+    mx = jnp.max(counts)
+    u = seg_id[-1] + 1
+    return int(mx), int(u)
 
 
 def _stencil_segments(grid: BinGrid, cell_list: CellList, query_bin_ijk):
@@ -230,7 +238,7 @@ def neighborhood_search_naive(positions: np.ndarray, radius: float):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "capacity"))
+@functools.partial(jax.jit, static_argnames=("grid", "capacity", "u_cap"))
 def compute_particle_densities_binned(
     positions,
     grid: BinGrid,
@@ -238,56 +246,92 @@ def compute_particle_densities_binned(
     compact_support_radius,
     particle_rest_mass,
     capacity: int,
+    u_cap: int,
 ):
     """SPH density per particle: rho_i = m * sum_j W(|x_j - x_i|).
 
-    The candidate set includes the particle itself, which contributes the
-    reference's explicit self-term W(0) (density_map.rs:169-185).
+    Bin-table pair-sum formulation: particles are rasterized into dense
+    (u_cap, K) per-occupied-bin tables (one unique-index scatter), then each
+    of the 27 stencil offsets contributes a (U, K, K) pair block — row
+    gathers of whole bins instead of per-particle random gathers, which is
+    the difference between streaming and latency-bound HBM access on TPU.
+    Empty slots carry far-away dummy positions, so W contributes exactly 0
+    and no masking is needed; the self-term W(0) is included naturally
+    (density_map.rs:169-185).
 
-    Streams over the 27 stencil offsets with a scan so peak memory is
-    O(N * capacity) instead of O(N * 27 * capacity) — essential for
-    multi-million-particle frames in 16 GB HBM.
+    ``capacity`` must be >= the max bin occupancy; ``u_cap`` >= the number
+    of occupied bins.
     """
     p = jnp.asarray(positions)
-    qb = grid.bin_ijk(p)
-    h = jnp.asarray(compact_support_radius, p.dtype)
-    dims = jnp.asarray(grid.dims, jnp.int32)
+    dtype = p.dtype
+    h = jnp.asarray(compact_support_radius, dtype)
     n = p.shape[0]
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    # (K, N) layout: the big particle axis stays minor (128 lanes on TPU).
-    sorted_comp = [cell_list.sorted_positions[:, d] for d in range(3)]
-    p_comp = [p[:, d] for d in range(3)]
+    K = capacity
+    sb = cell_list.sorted_bins  # (N,) sorted flat bin ids
 
-    # Hoist the binary searches out of the stencil loop: two vectorized
-    # searchsorted calls over (27, N) instead of 54 over (N,).
-    nb = qb[None, :, :] + jnp.asarray(_STENCIL)[:, None, :]  # (27, N, 3)
-    valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)  # (27, N)
-    nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))  # (27, N)
-    starts_all = jnp.searchsorted(
-        cell_list.sorted_bins, nb_flat.reshape(-1), side="left"
-    ).reshape(27, n)
-    ends_all = jnp.searchsorted(
-        cell_list.sorted_bins, nb_flat.reshape(-1), side="right"
-    ).reshape(27, n)
-    counts_all = jnp.where(valid, (ends_all - starts_all).astype(jnp.int32), 0)
+    # occupied-bin ranks and slots (no binary search needed)
+    is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    bin_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # (N,)
+    starts_per_rank = (
+        jnp.zeros((u_cap,), jnp.int32)
+        .at[jnp.where(is_start, bin_rank, u_cap)]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
+    slot = jnp.arange(n, dtype=jnp.int32) - starts_per_rank[bin_rank]
 
-    def body(acc, se):
-        starts, counts = se
-        gather_pos = jnp.clip(
-            starts.astype(jnp.int32)[None, :] + slot[:, None], 0, max(n - 1, 0)
-        )  # (K, N)
-        mask = slot[:, None] < counts[None, :]
-        d2 = jnp.zeros(gather_pos.shape, p.dtype)
+    occ_bins = (
+        jnp.full((u_cap,), _INT32_MAX, jnp.int32)
+        .at[jnp.where(is_start, bin_rank, u_cap)]
+        .set(sb, mode="drop", unique_indices=True)
+    )
+
+    # bin tables: positions per (bin rank, slot); dummy = +inf -> W == 0
+    dest = jnp.where(slot < K, bin_rank * K + slot, u_cap * K)
+    tables = []
+    for d in range(3):
+        tables.append(
+            jnp.full((u_cap * K,), jnp.inf, dtype)
+            .at[dest]
+            .set(cell_list.sorted_positions[:, d], mode="drop", unique_indices=True)
+            .reshape(u_cap, K)
+        )
+
+    # per-offset neighbor bin rank (sorted queries over sorted occ_bins)
+    _, dy, dz = grid.dims
+    stencil_flat = jnp.asarray(
+        _STENCIL[:, 0] * (dy * dz) + _STENCIL[:, 1] * dz + _STENCIL[:, 2]
+    )
+
+    def body(acc, delta):
+        target = occ_bins + delta  # sorted + const = sorted
+        nb_rank = jnp.searchsorted(occ_bins, target).astype(jnp.int32)
+        nb_rank_c = jnp.clip(nb_rank, 0, u_cap - 1)
+        present = occ_bins[nb_rank_c] == target
+        nb_row = jnp.where(present, nb_rank_c, u_cap - 1)
+        d2 = jnp.zeros((u_cap, K, K), dtype)
         for d in range(3):
-            delta = sorted_comp[d][gather_pos] - p_comp[d][None, :]
-            d2 = d2 + delta * delta
+            own = tables[d][:, :, None]  # (U, K, 1)
+            nb_tab = tables[d][nb_row][:, None, :]  # (U, 1, K)
+            diff = own - nb_tab
+            # inf - inf = nan guard: dummy slots must yield W = 0
+            diff = jnp.where(jnp.isfinite(diff), diff, jnp.inf)
+            d2 = d2 + diff * diff
         w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-        return acc + jnp.sum(jnp.where(mask, w, 0), axis=0), None
+        contrib = jnp.where(present[:, None], jnp.sum(w, axis=2), 0.0)
+        return acc + contrib, None
 
     acc, _ = jax.lax.scan(
-        body, jnp.zeros((n,), p.dtype), (starts_all, counts_all)
+        body, jnp.zeros((u_cap, K), dtype), stencil_flat
     )
-    return jnp.asarray(particle_rest_mass, p.dtype) * acc
+
+    # read back per particle (sorted order), then undo the sort
+    rho_sorted = acc.reshape(-1)[jnp.clip(dest, 0, u_cap * K - 1)]
+    rho = (
+        jnp.zeros((n,), dtype)
+        .at[cell_list.order]
+        .set(rho_sorted, mode="drop", unique_indices=True)
+    )
+    return jnp.asarray(particle_rest_mass, dtype) * rho
 
 
 def compute_particle_densities(
@@ -296,16 +340,24 @@ def compute_particle_densities(
     particle_rest_mass: float,
     capacity: int | None = None,
 ):
-    """Convenience wrapper: builds the binning and picks capacity on host."""
+    """Convenience wrapper: builds the binning and picks capacities on host."""
     positions = jnp.asarray(positions)
     mn = np.asarray(jnp.min(positions, axis=0))
     mx = np.asarray(jnp.max(positions, axis=0))
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
     cl = build_cell_list(positions, grid)
+    max_occ, n_bins = bin_stats(cl)
     if capacity is None:
-        capacity = _round_up(max_bin_occupancy(cl))
+        capacity = _round_up(max_occ)
+    u_cap = 1 << max(int(n_bins) - 1, 1).bit_length()
     return compute_particle_densities_binned(
-        positions, grid, cl, compact_support_radius, particle_rest_mass, capacity
+        positions,
+        grid,
+        cl,
+        compact_support_radius,
+        particle_rest_mass,
+        capacity,
+        u_cap,
     )
 
 

@@ -86,6 +86,28 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
         parameters.particle_aabb,
     )
 
+    # Bucket the particle count so animation sequences with varying N reuse
+    # compiled programs (remote TPU compiles cost minutes). Padding dummies
+    # sit on a line outside the grid, spaced one support radius apart: they
+    # occupy no subdomain, contribute exactly W=0 everywhere, and each lands
+    # in its own neighborhood bin.
+    n_real = len(particle_positions)
+    granularity = 1 << max(n_real.bit_length() - 3, 6)
+    n_padded = -(-n_real // granularity) * granularity
+    if n_padded > n_real:
+        pad = n_padded - n_real
+        support = parameters.compact_support_radius
+        side = int(np.ceil(pad ** (1.0 / 3.0)))
+        ii = np.arange(pad)
+        cube = np.stack(
+            [ii // (side * side), (ii // side) % side, ii % side], axis=1
+        ).astype(particle_positions.dtype)
+        start = np.asarray(grid.min, dtype=particle_positions.dtype) - (
+            10.0 + 2.0 * side
+        ) * support
+        dummies = start + cube * (2.0 * support)
+        particle_positions = np.concatenate([particle_positions, dummies], axis=0)
+
     decomposition = parameters.spatial_decomposition
     if decomposition == SpatialDecomposition.UNIFORM_GRID:
         n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
@@ -99,7 +121,7 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
     if decomposition == SpatialDecomposition.UNIFORM_GRID:
         from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
 
-        return reconstruct_surface_subdomain_grid(
+        rec = reconstruct_surface_subdomain_grid(
             particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
         )
     else:
@@ -111,6 +133,18 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
             )
         from splashsurf_tpu.global_pipeline import reconstruct_surface_global
 
-        return reconstruct_surface_global(
+        rec = reconstruct_surface_global(
             particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
         )
+
+    # Trim count-padding dummies out of per-particle outputs.
+    if n_padded > n_real:
+        if rec.particle_densities is not None:
+            rec.particle_densities = rec.particle_densities[:n_real]
+        if rec.particle_neighbors is not None:
+            offsets, indices = rec.particle_neighbors
+            rec.particle_neighbors = (
+                offsets[: n_real + 1],
+                indices[: offsets[n_real]],
+            )
+    return rec

@@ -45,6 +45,15 @@ from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
 
 _INT32_MAX = np.int32(2**31 - 1)
 
+# When True, stages block on device completion so profile scopes attribute
+# time correctly; off by default to let dispatch overlap host work.
+_PROFILE_SYNC = False
+
+
+def enable_profile_sync(on: bool = True):
+    global _PROFILE_SYNC
+    _PROFILE_SYNC = on
+
 
 @dataclasses.dataclass(frozen=True)
 class SubdomainGridParams:
@@ -115,10 +124,11 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
     m = sd.margin_cells
     num_sub = jnp.asarray(sd.num_subdomains, jnp.int32)
 
-    gc = jnp.clip(
-        g.enclosing_cell(positions), 0, jnp.asarray(g.n_cells, jnp.int32) - 1
-    )
-    own = gc // n_sub
+    # No clipping: particles outside the global grid (e.g. count-padding
+    # dummies) must land in no subdomain at all. Real particles are always
+    # strictly inside thanks to the kernel margin (lib.rs:509-515).
+    gc = g.enclosing_cell(positions)
+    own = jnp.clip(gc // n_sub, -1, jnp.asarray(sd.num_subdomains, jnp.int32))
     local = gc - own * n_sub
 
     targets = []
@@ -639,7 +649,8 @@ def reconstruct_surface_subdomain_grid(
         rho = neighbors.compute_particle_densities(
             positions, support, parameters.particle_rest_mass
         )
-        rho.block_until_ready()
+        if _PROFILE_SYNC:
+            rho.block_until_ready()
     values = jnp.asarray(parameters.particle_rest_mass, dtype) / rho
 
     # dummy row for padded gathers
@@ -750,7 +761,8 @@ def reconstruct_surface_subdomain_grid(
 
     # reorder back to occ order
     ls_all = jnp.concatenate(ls_parts, axis=0)
-    ls_all.block_until_ready()
+    if _PROFILE_SYNC:
+        ls_all.block_until_ready()
     prof_splat.__exit__(None, None, None)
     inv = np.empty(B, np.int64)
     inv[np.concatenate(part_rows)] = np.arange(B)
@@ -762,7 +774,8 @@ def reconstruct_surface_subdomain_grid(
         ls_all = halo_overwrite(
             ls_all, jnp.asarray(occ_ids.astype(np.int32)), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
         )
-        ls_all.block_until_ready()
+        if _PROFILE_SYNC:
+            ls_all.block_until_ready()
 
     # 5. batched marching cubes, chunked with capacity buckets
     with profile("mc counts"):
