@@ -1,0 +1,134 @@
+"""Pallas TPU kernel for the SPH density raster sweep.
+
+The hot loop of the whole engine (reference analog: the AVX2/NEON density
+grid loops, dense_subdomains.rs:849-1133): accumulate
+phi(p) = sum_slots sum_offsets W(|dx|) * v over statically pruned cell
+offsets, where particles are rasterized into per-cell slot tables holding
+*cell-fraction* coordinates, so dx = frac + (offset - margin - 1) * cube is
+a window read plus a compile-time constant.
+
+Kernel layout choices (driven by the (8, 128) VMEM tiling):
+  - the (y, z) raster plane is flattened into the lane dimension
+    (Rp*Rp + pad lanes), so a (sy, sz) window shift is ONE contiguous lane
+    slice instead of a 2-D relayout;
+  - the x axis is tiled over the grid; per tile the x-halo window of each
+    component is DMA'd from HBM into VMEM scratch once and re-read by all
+    ~180 * slots offsets from VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE_X = 8
+
+
+def _offsets(hsc: int, margin: int) -> np.ndarray:
+    from splashsurf_tpu.density import gather_cell_offsets
+
+    return gather_cell_offsets(hsc) + (margin + 1)  # padded slice starts
+
+
+def splat_sweep_pallas(
+    fx, fy, fz, fv,  # (C, S, Rp, Rp, Rp): frac components + values, padded
+    cell_size: float,
+    compact_support_radius: float,
+    hsc: int,
+    margin: int,
+    n_points: int,  # P
+    interpret: bool = False,
+):
+    """Returns level sets (C, P, P, P)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, S, Rp, _, _ = fx.shape
+    P = n_points
+    dtype = fx.dtype
+    offs = _offsets(hsc, margin)
+    n_tiles = -(-P // TILE_X)
+    x_pad = n_tiles * TILE_X + (2 * margin + 2) - Rp
+    # flatten (y, z) into lanes with +8 pad so the widest window slice
+    # (start (S-1)*Rp + (S-1), width P*Rp) stays in range
+    lane = Rp * Rp + 8
+    win_x = TILE_X + 2 * margin + 2 - 1  # x rows needed per tile
+
+    def prep(a, fill):
+        a = jnp.pad(
+            a,
+            ((0, 0), (0, 0), (0, max(x_pad, 0)), (0, 0), (0, 0)),
+            constant_values=fill,
+        )
+        a = a.reshape(C, S, a.shape[2], Rp * Rp)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, 8)), constant_values=fill)
+
+    fx, fy, fz = prep(fx, np.inf), prep(fy, np.inf), prep(fz, np.inf)
+    fv = prep(fv, 0.0)
+
+    h = float(compact_support_radius)
+    cs = float(cell_size)
+    sigma = 8.0 / (h * h * h) / (4.0 * math.pi)
+    width = P * Rp
+
+    def kernel(fx_hbm, fy_hbm, fz_hbm, fv_hbm, out_ref, sx, sy, sz, sv, sems):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        x0 = t * TILE_X
+
+        copies = []
+        for s in range(S):
+            for scratch, hbm in ((sx, fx_hbm), (sy, fy_hbm), (sz, fz_hbm), (sv, fv_hbm)):
+                dma = pltpu.make_async_copy(
+                    hbm.at[c, s, pl.ds(x0, win_x)],
+                    scratch.at[s],
+                    sems.at[len(copies)],
+                )
+                dma.start()
+                copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        acc = jnp.zeros((TILE_X, width), dtype)
+        for s in range(S):
+            for o0, o1, o2 in offs:
+                o0, o1, o2 = int(o0), int(o1), int(o2)
+                shift = o1 * Rp + o2
+                wx = sx[s, o0 : o0 + TILE_X, shift : shift + width]
+                wy = sy[s, o0 : o0 + TILE_X, shift : shift + width]
+                wz = sz[s, o0 : o0 + TILE_X, shift : shift + width]
+                wv = sv[s, o0 : o0 + TILE_X, shift : shift + width]
+                dx = wx + ((o0 - margin - 1) * cs)
+                dy = wy + ((o1 - margin - 1) * cs)
+                dz = wz + ((o2 - margin - 1) * cs)
+                d2 = dx * dx + dy * dy + dz * dz
+                q = jnp.sqrt(d2) * (2.0 / h)
+                a = jnp.maximum(2.0 - q, 0.0)
+                b = jnp.maximum(1.0 - q, 0.0)
+                w = (a * a * a - 4.0 * (b * b * b)) * sigma
+                acc = acc + w * wv
+        out_ref[0] = acc.reshape(TILE_X, P, Rp)[:, :, :P]
+
+    grid = (C, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, TILE_X, P, P), lambda c, t: (c, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, n_tiles * TILE_X, P, P), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, win_x, lane), dtype),
+            pltpu.VMEM((S, win_x, lane), dtype),
+            pltpu.VMEM((S, win_x, lane), dtype),
+            pltpu.VMEM((S, win_x, lane), dtype),
+            pltpu.SemaphoreType.DMA((4 * S,)),
+        ],
+        interpret=interpret,
+    )(fx, fy, fz, fv)
+    return out[:, :P]

@@ -237,17 +237,20 @@ def chunk_levelset_scatter(
     return ls.reshape(C, P, P, P)
 
 
-@functools.partial(jax.jit, static_argnames=("sd", "hsc", "slots", "unroll"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("sd", "compact_support_radius", "hsc", "slots", "unroll"),
+)
 def chunk_levelset_raster(
     positions_ext,
     values_ext,
     plists,
     sub_ijk,
     sd: SubdomainGridParams,
-    compact_support_radius,
+    compact_support_radius: float,
     hsc: int,
     slots: int = 2,
-    unroll: bool = True,
+    unroll="pallas",
 ):
     """Raster-sweep splat for dense chunks: no scatter in the hot loop.
 
@@ -274,10 +277,13 @@ def chunk_levelset_raster(
     cs = jnp.asarray(g.cell_size, dtype)
     h = jnp.asarray(compact_support_radius, dtype)
 
+    gc = [jnp.floor((pxs[d] - mn[d]) / cs) for d in range(3)]  # global cell (float)
+    # cell fractions: particle position relative to its cell corner. dx to a
+    # grid point then becomes frac + (static offset)*cs — no coordinate
+    # broadcasts in the sweep (and the Pallas kernel needs exactly this form).
+    frac = [pxs[d] - (mn[d] + gc[d] * cs) for d in range(3)]
     rc = [
-        jnp.floor((pxs[d] - mn[d]) / cs).astype(jnp.int32)
-        - sub_ijk[:, d][:, None] * n_sub
-        + m
+        gc[d].astype(jnp.int32) - sub_ijk[:, d][:, None] * n_sub + m
         for d in range(3)
     ]
     in_raster = jnp.ones((C, K), bool)
@@ -303,37 +309,43 @@ def chunk_levelset_raster(
     )
     dest_f = dest.reshape(-1)
 
-    def raster(component_sorted):
+    def raster(component_sorted, fill):
         return (
-            jnp.zeros((C * slots * R * R * R,), dtype)
+            jnp.full((C * slots * R * R * R,), fill, dtype)
             .at[dest_f]
             .set(component_sorted.reshape(-1), mode="drop", unique_indices=True)
             .reshape(C, slots, R, R, R)
         )
 
-    rx = raster(jnp.take_along_axis(pxs[0], sort_idx, axis=1))
-    ry = raster(jnp.take_along_axis(pxs[1], sort_idx, axis=1))
-    rz = raster(jnp.take_along_axis(pxs[2], sort_idx, axis=1))
-    rv = raster(val_sorted)
+    # empty slots: frac = +inf -> d2 = inf -> W = 0 exactly (no masks)
+    rx = raster(jnp.take_along_axis(frac[0], sort_idx, axis=1), jnp.inf)
+    ry = raster(jnp.take_along_axis(frac[1], sort_idx, axis=1), jnp.inf)
+    rz = raster(jnp.take_along_axis(frac[2], sort_idx, axis=1), jnp.inf)
+    rv = raster(val_sorted, 0.0)
 
     # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around base cells.
-    pw = ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1))
-    rx, ry, rz, rv = (jnp.pad(a, pw) for a in (rx, ry, rz, rv))
+    def _pad(a, fill):
+        pw = ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1))
+        return jnp.pad(a, pw, constant_values=fill)
+
+    rx, ry, rz = _pad(rx, np.inf), _pad(ry, np.inf), _pad(rz, np.inf)
+    rv = _pad(rv, 0.0)
 
     offs = density_mod.gather_cell_offsets(hsc) + (m + 1)  # static, host-side
 
-    # Point coordinates from global indices (broadcast components).
-    sx = sub_ijk[:, 0][:, None, None, None] * n_sub
-    sy = sub_ijk[:, 1][:, None, None, None] * n_sub
-    sz = sub_ijk[:, 2][:, None, None, None] * n_sub
-    gx = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1, 1), 1) + sx
-    gy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P, 1), 2) + sy
-    gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, P), 3) + sz
-    px = mn[0] + gx.astype(dtype) * cs  # (C, P, 1, 1)
-    py = mn[1] + gy.astype(dtype) * cs
-    pz = mn[2] + gz.astype(dtype) * cs
+    if unroll == "pallas" or unroll == "pallas_interpret":
+        from splashsurf_tpu.ops.splat_pallas import splat_sweep_pallas
 
-    if unroll:
+        ls = splat_sweep_pallas(
+            rx, ry, rz, rv,
+            cell_size=g.cell_size,
+            compact_support_radius=float(compact_support_radius),
+            hsc=hsc,
+            margin=m,
+            n_points=P,
+            interpret=(unroll == "pallas_interpret"),
+        )
+    elif unroll:
         # TPU path: statically unrolled shifted windows, zero dynamic slicing
         acc = jnp.zeros((C, P, P, P), dtype)
         for s in range(slots):
@@ -343,9 +355,9 @@ def chunk_levelset_raster(
                 wy = ry[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
                 wz = rz[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
                 wv = rv[:, s, o0 : o0 + P, o1 : o1 + P, o2 : o2 + P]
-                dx = wx - px
-                dy = wy - py
-                dz = wz - pz
+                dx = wx + (o0 - m - 1) * cs
+                dy = wy + (o1 - m - 1) * cs
+                dz = wz + (o2 - m - 1) * cs
                 d2 = dx * dx + dy * dy + dz * dz
                 acc = acc + kernels.cubic_kernel(jnp.sqrt(d2), h) * wv
         ls = acc
@@ -361,9 +373,10 @@ def chunk_levelset_raster(
             wy = jax.lax.dynamic_slice(ry, starts, sizes)
             wz = jax.lax.dynamic_slice(rz, starts, sizes)
             wv = jax.lax.dynamic_slice(rv, starts, sizes)
-            dx = wx - px[:, None]
-            dy = wy - py[:, None]
-            dz = wz - pz[:, None]
+            od = (o - (m + 1)).astype(dtype) * cs
+            dx = wx + od[0]
+            dy = wy + od[1]
+            dz = wz + od[2]
             d2 = dx * dx + dy * dy + dz * dz
             w = kernels.cubic_kernel(jnp.sqrt(d2), h) * wv
             return acc + jnp.sum(w, axis=1), None
@@ -694,7 +707,7 @@ def reconstruct_surface_subdomain_grid(
     # Splat routing: the raster sweep (no scatters) is the TPU fast path;
     # host/CPU runs default to the compile-fast scatter path.
     on_tpu = jax.default_backend() == "tpu"
-    unroll = on_tpu
+    unroll = "pallas" if on_tpu else False
     if raster_threshold is None:
         threshold = 0 if on_tpu else (1 << 30)
     else:

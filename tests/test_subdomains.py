@@ -143,3 +143,49 @@ class TestAutoDisable:
         )
         with pytest.raises(ValueError, match="dense"):
             st.reconstruct_surface(np.zeros((1, 3), np.float32), p)
+
+
+class TestPallasKernel:
+    def test_pallas_interpret_matches_scan(self, cube_cloud):
+        """The Pallas splat kernel (interpret mode) must match the XLA scan
+        sweep bit-closely."""
+        import jax.numpy as jnp
+        from splashsurf_tpu import neighbors
+        from splashsurf_tpu.subdomains import (
+            _gather_plists,
+            _pow2_at_least,
+            _segments,
+            chunk_levelset_raster,
+        )
+
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        sd = initialize_parameters(p, grid)
+        rho = neighbors.compute_particle_densities(
+            cube_cloud, p.compact_support_radius, p.particle_rest_mass
+        )
+        values = jnp.asarray(p.particle_rest_mass, jnp.float32) / rho
+        pe = jnp.concatenate(
+            [jnp.asarray(cube_cloud), jnp.full((1, 3), 1e30, jnp.float32)]
+        )
+        ve = jnp.concatenate([values, jnp.zeros((1,), jnp.float32)])
+        tgt, pid, n_pairs = decompose(jnp.asarray(cube_cloud), sd, 1 << 15)
+        occ, starts, counts = _segments(np.asarray(tgt[: int(n_pairs)]))
+        K = _pow2_at_least(int(counts.max()), lo=32)
+        rows = np.arange(len(occ))
+        pl_ = _gather_plists(
+            pid, jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(rows),
+            K, len(cube_cloud),
+        )
+        ns = sd.num_subdomains
+        sub_ijk = jnp.asarray(
+            np.stack(
+                [occ // (ns[1] * ns[2]), (occ // ns[2]) % ns[1], occ % ns[2]], 1
+            ).astype(np.int32)
+        )
+        args = (pe, ve, pl_, sub_ijk, sd, p.compact_support_radius, sd.margin_cells)
+        ls_scan, _ = chunk_levelset_raster(*args, unroll=False)
+        ls_pal, _ = chunk_levelset_raster(*args, unroll="pallas_interpret")
+        np.testing.assert_allclose(
+            np.asarray(ls_pal), np.asarray(ls_scan), atol=2e-5, rtol=1e-5
+        )
