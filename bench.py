@@ -36,13 +36,85 @@ def make_dam_break(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
     return pts
 
 
+def bench_stage(stage: str, n: int, repeats: int):
+    """Micro-benchmarks of isolated stages (criterion-bench analogs:
+    bench_grid_loop / bench_neighborhood / bench_mesh / bench_aabb)."""
+    import jax
+    import jax.numpy as jnp
+
+    import splashsurf_tpu as st
+    from splashsurf_tpu import neighbors
+
+    radius = 0.011
+    pts = make_dam_break(n, radius)
+    params = st.Parameters.new_relative(radius, 4.0, 1.5)
+
+    if stage == "density":
+        f = lambda: neighbors.compute_particle_densities(
+            pts, params.compact_support_radius, params.particle_rest_mass
+        )
+        unit, scale = "Mparticles/s", n / 1e6
+    elif stage == "aabb":
+        from splashsurf_tpu.aabb import aabb_from_points
+
+        arr = jnp.asarray(pts)
+        f = lambda: aabb_from_points(arr)
+        unit, scale = "Mparticles/s", n / 1e6
+    elif stage == "normals":
+        rec = st.reconstruct_surface(pts, params)
+        from splashsurf_tpu.mesh import vertex_normals
+
+        v = jnp.asarray(rec.mesh.vertices)
+        t = jnp.asarray(rec.mesh.triangles)
+        nf = jax.jit(vertex_normals)
+        f = lambda: nf(v, t)
+        unit, scale = "Mtris/s", len(rec.mesh.triangles) / 1e6
+    elif stage == "mc":
+        rec = st.reconstruct_surface(pts, params)
+        n_cells = rec.grid.total_cells
+        f = lambda: st.reconstruct_surface(pts, params)
+        unit, scale = "Mcells/s", n_cells / 1e6
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+
+    jax.block_until_ready(f())
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f())
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"stage_{stage}",
+                "value": round(scale / best, 3),
+                "unit": unit,
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_000_000, help="particle count")
     ap.add_argument("--smoke", action="store_true", help="small fast run")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--profile", action="store_true", help="print stage timings")
+    ap.add_argument(
+        "--stage",
+        default=None,
+        choices=["density", "aabb", "normals", "mc"],
+        help="micro-benchmark one stage instead of the full frame",
+    )
     args = ap.parse_args()
+    if args.stage:
+        from splashsurf_tpu.workspace import enable_persistent_cache
+
+        enable_persistent_cache()
+        bench_stage(args.stage, min(args.n, 1_000_000), args.repeats)
+        return
     if args.smoke:
         args.n = min(args.n, 100_000)
         args.repeats = 1

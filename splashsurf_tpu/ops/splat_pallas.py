@@ -52,11 +52,13 @@ def splat_sweep_pallas(
     dtype = fx.dtype
     offs = _offsets(hsc, margin)
     n_tiles = -(-P // TILE_X)
-    x_pad = n_tiles * TILE_X + (2 * margin + 2) - Rp
-    # flatten (y, z) into lanes with +8 pad so the widest window slice
-    # (start (S-1)*Rp + (S-1), width P*Rp) stays in range
-    lane = Rp * Rp + 8
-    win_x = TILE_X + 2 * margin + 2 - 1  # x rows needed per tile
+    # x rows needed per tile, rounded to the sublane tiling (8) for DMA
+    win_x = -(-(TILE_X + 2 * margin + 1) // 8) * 8
+    x_pad = (n_tiles - 1) * TILE_X + win_x - Rp
+    # flatten (y, z) into lanes, padded so the widest window slice
+    # (start (S-1)*Rp + (S-1), width P*Rp) stays in range, and rounded to
+    # the 128-lane tiling so DMA memref views stay aligned
+    lane = -(-(Rp * Rp + 8) // 128) * 128
 
     def prep(a, fill):
         a = jnp.pad(
@@ -65,7 +67,9 @@ def splat_sweep_pallas(
             constant_values=fill,
         )
         a = a.reshape(C, S, a.shape[2], Rp * Rp)
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, 8)), constant_values=fill)
+        return jnp.pad(
+            a, ((0, 0), (0, 0), (0, 0), (0, lane - Rp * Rp)), constant_values=fill
+        )
 
     fx, fy, fz = prep(fx, np.inf), prep(fy, np.inf), prep(fz, np.inf)
     fv = prep(fv, 0.0)
@@ -95,13 +99,17 @@ def splat_sweep_pallas(
 
         acc = jnp.zeros((TILE_X, width), dtype)
         for s in range(S):
+            # Load the whole windows as values; per-offset slicing then
+            # lowers to sublane/lane shifts (ref slices at unaligned sublane
+            # offsets are not representable as memref views).
+            vx, vy, vz, vv = sx[s], sy[s], sz[s], sv[s]
             for o0, o1, o2 in offs:
                 o0, o1, o2 = int(o0), int(o1), int(o2)
                 shift = o1 * Rp + o2
-                wx = sx[s, o0 : o0 + TILE_X, shift : shift + width]
-                wy = sy[s, o0 : o0 + TILE_X, shift : shift + width]
-                wz = sz[s, o0 : o0 + TILE_X, shift : shift + width]
-                wv = sv[s, o0 : o0 + TILE_X, shift : shift + width]
+                wx = vx[o0 : o0 + TILE_X, shift : shift + width]
+                wy = vy[o0 : o0 + TILE_X, shift : shift + width]
+                wz = vz[o0 : o0 + TILE_X, shift : shift + width]
+                wv = vv[o0 : o0 + TILE_X, shift : shift + width]
                 dx = wx + ((o0 - margin - 1) * cs)
                 dy = wy + ((o1 - margin - 1) * cs)
                 dz = wz + ((o2 - margin - 1) * cs)
@@ -111,7 +119,9 @@ def splat_sweep_pallas(
                 b = jnp.maximum(1.0 - q, 0.0)
                 w = (a * a * a - 4.0 * (b * b * b)) * sigma
                 acc = acc + w * wv
-        out_ref[0] = acc.reshape(TILE_X, P, Rp)[:, :, :P]
+        # Keep the flattened (y*Rp + z) layout: Mosaic cannot shape-cast
+        # lanes into sublanes; the caller reshapes outside the kernel.
+        out_ref[0] = acc
 
     grid = (C, n_tiles)
     out = pl.pallas_call(
@@ -119,9 +129,9 @@ def splat_sweep_pallas(
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, TILE_X, P, P), lambda c, t: (c, t, 0, 0), memory_space=pltpu.VMEM
+            (1, TILE_X, width), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((C, n_tiles * TILE_X, P, P), dtype),
+        out_shape=jax.ShapeDtypeStruct((C, n_tiles * TILE_X, width), dtype),
         scratch_shapes=[
             pltpu.VMEM((S, win_x, lane), dtype),
             pltpu.VMEM((S, win_x, lane), dtype),
@@ -131,4 +141,4 @@ def splat_sweep_pallas(
         ],
         interpret=interpret,
     )(fx, fy, fz, fv)
-    return out[:, :P]
+    return out[:, :P].reshape(C, P, P, Rp)[:, :, :, :P]

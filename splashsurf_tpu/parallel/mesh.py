@@ -69,8 +69,8 @@ def _levelset_mc_step(
         sub_ijk,
         sd,
         iso,
-        vertex_capacity=vertex_capacity,
-        triangle_capacity=triangle_capacity,
+        pack_vertex_capacity=vertex_capacity,
+        pack_triangle_capacity=triangle_capacity,
     )
 
 
@@ -202,9 +202,8 @@ def sharded_reconstruction_demo(n_devices: int, parameters: Optional[Parameters]
             **args,
         )
         jax.block_until_ready(out)
-    verts, tris, nv, nt, axis, gijk = out
-    total_v = int(np.asarray(nv[:B]).sum())
-    total_t = int(np.asarray(nt[:B]).sum())
+    total_v = int(out[8])
+    total_t = int(out[9])
     assert total_t > 0, "sharded demo produced no triangles"
     return {
         "devices": n_dev,
