@@ -139,6 +139,11 @@ def splat_sweep_pallas(
             pltpu.VMEM((S, win_x, lane), dtype),
             pltpu.SemaphoreType.DMA((4 * S,)),
         ],
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(fx, fy, fz, fv)
     return out[:, :P].reshape(C, P, P, Rp)[:, :, :, :P]

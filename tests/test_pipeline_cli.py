@@ -200,3 +200,53 @@ class TestCli:
              f"{data_dir}/cube_8_particles.vtk", "-o", str(out)]
         )
         assert rc == 1  # error: exists without --overwrite
+
+
+class TestPipelineExtras:
+    def test_mesh_aabb_filter_and_clamp(self, bunny):
+        from splashsurf_tpu.aabb import Aabb3d
+
+        box = Aabb3d((-0.6, 0.7, -0.9), (0.6, 1.5, 0.6))
+        res = reconstruction_pipeline(
+            bunny, _params(),
+            PostprocessingParameters(mesh_aabb=box),
+        )
+        v = res.tri_mesh.mesh.vertices
+        assert np.all(v.min(axis=0) >= np.asarray(box.min) - 1e-6)
+        assert np.all(v.max(axis=0) <= np.asarray(box.max) + 1e-6)
+        res2 = reconstruction_pipeline(
+            bunny, _params(),
+            PostprocessingParameters(mesh_aabb=box, mesh_aabb_clamp_vertices=True),
+        )
+        # clamping keeps all vertices (possibly squashed onto the box)
+        assert res2.tri_mesh.mesh.num_vertices >= res.tri_mesh.mesh.num_vertices
+
+    def test_attribute_interpolation_via_cli(self, tmp_path, data_dir):
+        out = str(tmp_path / "attr.vtk")
+        rc = run_splashsurf(
+            ["-q", "reconstruct",
+             f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk",
+             "-r", "0.025", "-l", "2.0", "-c", "1.5",
+             "-a", "velocity", "-o", out, "--subdomain-cubes", "32"]
+        )
+        assert rc == 0
+        from splashsurf_tpu.io.vtk import _read_legacy
+
+        _pts, pdata, _c, _o, _t = _read_legacy(out)
+        assert "velocity" in pdata and pdata["velocity"].shape[1] == 3
+
+    def test_mesh_convert_roundtrip(self, tmp_path):
+        # icosphere OBJ -> PLY -> VTK through the convert subcommand
+        p1 = str(tmp_path / "ico.ply")
+        p2 = str(tmp_path / "ico.vtk")
+        rc1 = run_splashsurf(
+            ["-q", "convert", "--mesh", "/root/reference/data/icosphere.obj", "-o", p1]
+        )
+        from splashsurf_tpu.io import mesh_from_file
+
+        rc2 = run_splashsurf(["-q", "convert", "--mesh", p1, "-o", p2])
+        assert rc1 == 0 and rc2 == 0
+        a = mesh_from_file("/root/reference/data/icosphere.obj")
+        b = mesh_from_file(p2)
+        assert a.num_vertices == b.num_vertices
+        assert a.num_triangles == b.num_triangles
