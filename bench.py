@@ -146,9 +146,12 @@ def main():
     )
 
     times = []
-    for _ in range(args.repeats):
+    for rep in range(args.repeats):
+        # jitter each repeat slightly: the serving environment may cache
+        # identical (program, input) executions, which would fake the timing
+        frame = pts + np.float32(1e-5 * radius * (rep + 1))
         t0 = time.perf_counter()
-        rec = st.reconstruct_surface(pts, params)
+        rec = st.reconstruct_surface(frame, params)
         times.append(time.perf_counter() - t0)
     best = min(times)
     mpps = n / best / 1e6

@@ -145,7 +145,7 @@ def sharded_reconstruction_demo(n_devices: int, parameters: Optional[Parameters]
     values_ext = jnp.concatenate([values, jnp.zeros((1,), jnp.float32)])
 
     cap = sub_mod._pow2_at_least(2 * len(pts))
-    tgt, pid, n_pairs = sub_mod.decompose(jnp.asarray(pts), sd, cap)
+    tgt, pid, _cell, _rank, n_pairs = sub_mod.decompose(jnp.asarray(pts), sd, cap)
     tgt_np = np.asarray(tgt[: int(n_pairs)])
     occ_ids, occ_starts, occ_counts = sub_mod._segments(tgt_np)
     B = len(occ_ids)

@@ -113,15 +113,20 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
 
     Vectorized GhostMarginClassifier (dense_subdomains.rs:1751-1906): a
     particle belongs to its own subdomain plus every neighbor whose raster
-    (margin_cells wide) contains its cell. Returns bin-sorted pairs
-    (targets (P,), particle ids (P,)) padded with INT32_MAX, plus the true
-    pair count (host must check it fits the capacity).
+    (margin_cells wide) contains its cell.
+
+    Pairs are sorted by (subdomain, raster cell, particle id) and annotated
+    with the raster cell flat index and the slot rank within the cell —
+    computed once globally so the per-chunk rasterize is a pure scatter.
+    Returns (targets, particle ids, raster cells, ranks, n_pairs), all
+    (pair_capacity,), targets padded with INT32_MAX.
     """
     positions = jnp.asarray(positions)
     n = positions.shape[0]
     g = sd.global_grid
     n_sub = sd.n_sub
     m = sd.margin_cells
+    R = n_sub + 2 * m
     num_sub = jnp.asarray(sd.num_subdomains, jnp.int32)
 
     # No clipping: particles outside the global grid (e.g. count-padding
@@ -131,8 +136,7 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
     own = jnp.clip(gc // n_sub, -1, jnp.asarray(sd.num_subdomains, jnp.int32))
     local = gc - own * n_sub
 
-    targets = []
-    masks = []
+    targets, cells, masks = [], [], []
     for o in _OFFSETS27:
         cond = jnp.ones((n,), bool)
         for d in range(3):
@@ -143,11 +147,16 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
         t = own + jnp.asarray(o, jnp.int32)
         cond = cond & jnp.all((t >= 0) & (t < num_sub), axis=-1)
         tflat = sd.subdomain_grid.flatten_cell_index(t)
+        # raster cell of this particle inside target subdomain t
+        rc = gc - t * n_sub + m  # in [0, R) when cond holds
+        rcf = (rc[:, 0] * R + rc[:, 1]) * R + rc[:, 2]
         targets.append(jnp.where(cond, tflat, _INT32_MAX))
+        cells.append(jnp.where(cond, rcf, 0))
         masks.append(cond)
 
     # (27, N) stacking: N stays the minor (lane) dimension on TPU.
     target_all = jnp.stack(targets, axis=0).reshape(-1)
+    cell_all = jnp.stack(cells, axis=0).reshape(-1)
     mask_all = jnp.stack(masks, axis=0).reshape(-1)
     pid_all = jnp.tile(jnp.arange(n, dtype=jnp.int32), 27)
 
@@ -155,11 +164,31 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
     tgt_c = jnp.full((pair_capacity,), _INT32_MAX, jnp.int32).at[dest].set(
         target_all, mode="drop"
     )
+    cell_c = jnp.zeros((pair_capacity,), jnp.int32).at[dest].set(
+        cell_all, mode="drop"
+    )
     pid_c = jnp.zeros((pair_capacity,), jnp.int32).at[dest].set(
         pid_all, mode="drop"
     )
-    tgt_s, pid_s = jax.lax.sort((tgt_c, pid_c), num_keys=2)
-    return tgt_s, pid_s, jnp.sum(mask_all).astype(jnp.int32)
+    tgt_s, cell_s, pid_s = jax.lax.sort((tgt_c, cell_c, pid_c), num_keys=3)
+
+    # slot rank within each (subdomain, raster cell) run
+    npairs = pair_capacity
+    is_start = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (tgt_s[1:] != tgt_s[:-1]) | (cell_s[1:] != cell_s[:-1]),
+        ]
+    )
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.arange(npairs, dtype=jnp.int32)
+    run_starts = (
+        jnp.zeros((npairs,), jnp.int32)
+        .at[jnp.where(is_start, run_id, npairs)]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    rank_s = idx - run_starts[run_id]
+    return tgt_s, pid_s, cell_s, rank_s, jnp.sum(mask_all).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +273,9 @@ def chunk_levelset_scatter(
 def chunk_levelset_raster(
     positions_ext,
     values_ext,
-    plists,
+    plists,  # (C, K) particle ids
+    plocal,  # (C, K) raster cell flat ids (from decompose)
+    prank,  # (C, K) slot rank within the cell (from decompose)
     sub_ijk,
     sd: SubdomainGridParams,
     compact_support_radius: float,
@@ -282,46 +313,31 @@ def chunk_levelset_raster(
     # grid point then becomes frac + (static offset)*cs — no coordinate
     # broadcasts in the sweep (and the Pallas kernel needs exactly this form).
     frac = [pxs[d] - (mn[d] + gc[d] * cs) for d in range(3)]
-    rc = [
-        gc[d].astype(jnp.int32) - sub_ijk[:, d][:, None] * n_sub + m
-        for d in range(3)
-    ]
-    in_raster = jnp.ones((C, K), bool)
-    for d in range(3):
-        in_raster = in_raster & (rc[d] >= 0) & (rc[d] < R)
-        rc[d] = jnp.clip(rc[d], 0, R - 1)
-    cell_flat = jnp.where(
-        in_raster, rc[0] * (R * R) + rc[1] * R + rc[2], R * R * R
-    )
 
-    # Slot rank via per-row sort (stable, so input order breaks ties).
-    sort_idx = jnp.argsort(cell_flat, axis=1)
-    cf_sorted = jnp.take_along_axis(cell_flat, sort_idx, axis=1)
-    start = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(cf_sorted)
-    rank = jnp.arange(K, dtype=jnp.int32)[None, :] - start.astype(jnp.int32)
-    val_sorted = jnp.take_along_axis(pval, sort_idx, axis=1)
-
-    ok = (rank < slots) & (cf_sorted < R * R * R)
+    # Raster cells and slot ranks were computed once, globally, in
+    # decompose(); the rasterize here is a single pure scatter.
+    valid = plists != positions_ext.shape[0] - 1
+    ok = valid & (prank < slots)
     row = jnp.arange(C, dtype=jnp.int32)[:, None]
     # layout (C, slots, R^3): big raster axis minor
     dest = jnp.where(
-        ok, (row * slots + rank) * (R * R * R) + cf_sorted, C * R * R * R * slots
+        ok, (row * slots + prank) * (R * R * R) + plocal, C * R * R * R * slots
     )
     dest_f = dest.reshape(-1)
 
-    def raster(component_sorted, fill):
+    def raster(component, fill):
         return (
             jnp.full((C * slots * R * R * R,), fill, dtype)
             .at[dest_f]
-            .set(component_sorted.reshape(-1), mode="drop", unique_indices=True)
+            .set(component.reshape(-1), mode="drop", unique_indices=True)
             .reshape(C, slots, R, R, R)
         )
 
     # empty slots: frac = +inf -> d2 = inf -> W = 0 exactly (no masks)
-    rx = raster(jnp.take_along_axis(frac[0], sort_idx, axis=1), jnp.inf)
-    ry = raster(jnp.take_along_axis(frac[1], sort_idx, axis=1), jnp.inf)
-    rz = raster(jnp.take_along_axis(frac[2], sort_idx, axis=1), jnp.inf)
-    rv = raster(val_sorted, 0.0)
+    rx = raster(frac[0], jnp.inf)
+    ry = raster(frac[1], jnp.inf)
+    rz = raster(frac[2], jnp.inf)
+    rv = raster(pval, 0.0)
 
     # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around base cells.
     def _pad(a, fill):
@@ -387,14 +403,13 @@ def chunk_levelset_raster(
     # fallback costs nothing when (almost) no cell exceeds the slot count.
     O_CAP = 256
     n_dummy = positions_ext.shape[0] - 1
-    pid_sorted = jnp.take_along_axis(plists, sort_idx, axis=1)
-    over = (~ok) & (cf_sorted < R * R * R) & (pid_sorted != n_dummy)
+    over = valid & (prank >= slots)
     over_rank = jnp.cumsum(over, axis=1) - 1
     over_dest = jnp.where(over & (over_rank < O_CAP), row * O_CAP + over_rank, C * O_CAP)
     over_lists = (
         jnp.full((C * O_CAP,), n_dummy, jnp.int32)
         .at[over_dest.reshape(-1)]
-        .set(pid_sorted.reshape(-1), mode="drop", unique_indices=True)
+        .set(plists.reshape(-1), mode="drop", unique_indices=True)
         .reshape(C, O_CAP)
     )
     ls_over = chunk_levelset_scatter(
@@ -677,7 +692,7 @@ def reconstruct_surface_subdomain_grid(
     prof_decomp = profile("decomposition")
     prof_decomp.__enter__()
     while True:
-        tgt_s, pid_s, n_pairs = decompose(positions, sd, pair_capacity)
+        tgt_s, pid_s, cell_s, rank_s, n_pairs = decompose(positions, sd, pair_capacity)
         n_pairs = int(n_pairs)
         if n_pairs <= pair_capacity:
             break
@@ -748,19 +763,21 @@ def reconstruct_surface_subdomain_grid(
         C = min(cap, max(1, slot_budget // K))
         if C > step:
             rows = np.concatenate([rows, np.full(C - step, rows[-1])])
-        # gather particle lists on device
-        plists = _gather_plists(
-            pid_s, starts_d, jnp.asarray(occ_counts), jnp.asarray(rows), K, n
-        )
+        # gather pair slices on device
+        counts_d = jnp.asarray(occ_counts)
+        rows_d = jnp.asarray(rows)
+        plists = _gather_pairs(pid_s, starts_d, counts_d, rows_d, K, n)
         sub_ijk = jnp.asarray(sub_ijk_all[rows])
         if K <= threshold:
             ls = chunk_levelset_scatter(
                 positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
             )
         else:
+            plocal = _gather_pairs(cell_s, starts_d, counts_d, rows_d, K, 0)
+            prank = _gather_pairs(rank_s, starts_d, counts_d, rows_d, K, 1 << 30)
             ls, max_row_over = chunk_levelset_raster(
-                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc,
-                unroll=unroll,
+                positions_ext, values_ext, plists, plocal, prank, sub_ijk, sd,
+                support, hsc, unroll=unroll,
             )
             if int(max_row_over) > 256:
                 # pathological cell occupancy: redo this chunk exactly via
@@ -880,14 +897,20 @@ def reconstruct_surface_subdomain_grid(
 
 
 @functools.partial(jax.jit, static_argnames=("K", "n"))
-def _gather_plists(pid_s, starts, counts, rows, K: int, n: int):
+def _gather_pairs(arr_s, starts, counts, rows, K: int, n: int):
+    """Gather the sorted-pair slice of each chunk row into a (C, K) table,
+    padding empty slots with ``n``."""
     st = starts[rows]  # (C,)
     ct = counts[rows]
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = st[:, None] + slot
     mask = slot < ct[:, None]
-    pos = jnp.clip(pos, 0, pid_s.shape[0] - 1)
-    return jnp.where(mask, pid_s[pos], n)
+    pos = jnp.clip(pos, 0, arr_s.shape[0] - 1)
+    return jnp.where(mask, arr_s[pos], n)
+
+
+# backwards-compatible alias (particle-id gathering)
+_gather_plists = _gather_pairs
 
 
 def _segments(sorted_targets: np.ndarray):

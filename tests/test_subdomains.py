@@ -46,7 +46,7 @@ class TestDecomposition:
         pts_center = np.array([[0.0, 0.0, 0.0]], np.float32)
         grid = grid_for_reconstruction(pts_center, 0.025, 0.1, 0.025)
         sd = initialize_parameters(p, grid)
-        tgt, pid, n_pairs = decompose(pts_center, sd, 64)
+        tgt, pid, _c, _r, n_pairs = decompose(pts_center, sd, 64)
         assert int(n_pairs) >= 1
         tgt = np.asarray(tgt[: int(n_pairs)])
         assert len(np.unique(tgt)) == int(n_pairs)  # distinct subdomains
@@ -55,7 +55,7 @@ class TestDecomposition:
         p = _params(n_sub=16)
         grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
         sd = initialize_parameters(p, grid)
-        tgt, pid, n_pairs = decompose(cube_cloud, sd, 1 << 17)
+        tgt, pid, _c, _r, n_pairs = decompose(cube_cloud, sd, 1 << 17)
         n_pairs = int(n_pairs)
         n = len(cube_cloud)
         assert n <= n_pairs <= 27 * n
@@ -169,21 +169,25 @@ class TestPallasKernel:
             [jnp.asarray(cube_cloud), jnp.full((1, 3), 1e30, jnp.float32)]
         )
         ve = jnp.concatenate([values, jnp.zeros((1,), jnp.float32)])
-        tgt, pid, n_pairs = decompose(jnp.asarray(cube_cloud), sd, 1 << 15)
+        tgt, pid, cell, rank, n_pairs = decompose(jnp.asarray(cube_cloud), sd, 1 << 15)
         occ, starts, counts = _segments(np.asarray(tgt[: int(n_pairs)]))
         K = _pow2_at_least(int(counts.max()), lo=32)
         rows = np.arange(len(occ))
-        pl_ = _gather_plists(
-            pid, jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(rows),
-            K, len(cube_cloud),
+        gather = lambda a, fill: _gather_plists(
+            a, jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(rows),
+            K, fill,
         )
+        pl_ = gather(pid, len(cube_cloud))
+        plocal = gather(cell, 0)
+        prank = gather(rank, 1 << 30)
         ns = sd.num_subdomains
         sub_ijk = jnp.asarray(
             np.stack(
                 [occ // (ns[1] * ns[2]), (occ // ns[2]) % ns[1], occ % ns[2]], 1
             ).astype(np.int32)
         )
-        args = (pe, ve, pl_, sub_ijk, sd, p.compact_support_radius, sd.margin_cells)
+        args = (pe, ve, pl_, plocal, prank, sub_ijk, sd,
+                p.compact_support_radius, sd.margin_cells)
         ls_scan, _ = chunk_levelset_raster(*args, unroll=False)
         ls_pal, _ = chunk_levelset_raster(*args, unroll="pallas_interpret")
         np.testing.assert_allclose(
