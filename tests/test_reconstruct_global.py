@@ -121,3 +121,30 @@ class TestDamBreak:
         pts, rec = reconstruction
         assert np.all(rec.mesh.vertices.min(axis=0) <= pts.min(axis=0))
         assert np.all(rec.mesh.vertices.max(axis=0) >= pts.max(axis=0))
+
+
+class TestDatasetMatrix:
+    """test_full.rs dataset x band matrix (subset that runs quickly on CPU)."""
+
+    def test_sailors_knot_band(self, data_dir):
+        pts, _ = particles_from_vtk(f"{data_dir}/sailors_knot_19539_particles.vtk")
+        params = st.Parameters.new_relative(
+            0.025, 4.0, 1.1,
+            grid_decomposition=st.GridDecompositionParameters(32, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, params)
+        # reference band (test_full.rs): 40k-70k triangles
+        assert 40_000 < rec.mesh.num_triangles < 70_000
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+    def test_octocat_bgeo_subdomains(self, data_dir):
+        from splashsurf_tpu.io import particles_from_file
+
+        pts = particles_from_file(f"{data_dir}/octocat_32614_particles.bgeo")
+        params = st.Parameters.new_relative(
+            0.025, 4.0, 1.5,  # coarser cube than the reference test for CPU speed
+            grid_decomposition=st.GridDecompositionParameters(32, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, params)
+        assert rec.mesh.num_triangles > 20_000
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
