@@ -697,8 +697,14 @@ def reconstruct_surface_subdomain_grid(
         if n_pairs <= pair_capacity:
             break
         pair_capacity = _pow2_at_least(n_pairs)
-    tgt_np = np.asarray(tgt_s[:n_pairs])
-    occ_ids, occ_starts, occ_counts = _segments(tgt_np)
+    # Occupied-subdomain segments computed on device: only (B,)-sized
+    # arrays cross the host link instead of the full pair array.
+    n_occ = int(_count_segments(tgt_s, n_pairs))
+    b_cap = _pow2_at_least(n_occ, lo=8)
+    occ_d, starts_dv, counts_dv = _segments_device(tgt_s, n_pairs, b_cap)
+    occ_ids = np.asarray(occ_d[:n_occ]).astype(np.int64)
+    occ_starts = np.asarray(starts_dv[:n_occ]).astype(np.int64)
+    occ_counts = np.asarray(counts_dv[:n_occ]).astype(np.int64)
     prof_decomp.__exit__(None, None, None)
     B = len(occ_ids)
     if B == 0:
@@ -911,6 +917,40 @@ def _gather_pairs(arr_s, starts, counts, rows, K: int, n: int):
 
 # backwards-compatible alias (particle-id gathering)
 _gather_plists = _gather_pairs
+
+
+@functools.partial(jax.jit)
+def _count_segments(tgt_s, n_pairs):
+    valid = tgt_s != _INT32_MAX
+    is_start = jnp.concatenate([valid[:1], (tgt_s[1:] != tgt_s[:-1]) & valid[1:]])
+    return jnp.sum(is_start.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("b_cap",))
+def _segments_device(tgt_s, n_pairs, b_cap: int):
+    """Occupied subdomain ids, pair-segment starts and counts, on device."""
+    npairs = tgt_s.shape[0]
+    idx = jnp.arange(npairs, dtype=jnp.int32)
+    valid = tgt_s != _INT32_MAX
+    is_start = jnp.concatenate([valid[:1], (tgt_s[1:] != tgt_s[:-1]) & valid[1:]])
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    dest = jnp.where(is_start, seg, b_cap)
+    occ = (
+        jnp.full((b_cap,), _INT32_MAX, jnp.int32)
+        .at[dest]
+        .set(tgt_s, mode="drop", unique_indices=True)
+    )
+    starts = (
+        jnp.zeros((b_cap,), jnp.int32)
+        .at[dest]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    counts = (
+        jnp.zeros((b_cap,), jnp.int32)
+        .at[jnp.where(valid, seg, b_cap)]
+        .add(1, mode="drop")
+    )
+    return occ, starts, counts
 
 
 def _segments(sorted_targets: np.ndarray):
