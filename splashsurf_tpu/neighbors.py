@@ -302,30 +302,54 @@ def compute_particle_densities_binned(
         _STENCIL[:, 0] * (dy * dz) + _STENCIL[:, 1] * dz + _STENCIL[:, 2]
     )
 
+    # (K, U) layouts: the big bin axis stays minor (128 lanes); a (U, K, K)
+    # block would pad K -> 128 lanes, an 8x waste at typical occupancies.
+    tables_t = [t.T for t in tables]  # 3 x (K, U)
+
+    # Neighbor-rank lookup: a dense O(1) rank table over the bin lattice when
+    # it fits (27 binary searches over U queries are latency-bound otherwise).
+    lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    use_table = lattice <= (1 << 24)
+    if use_table:
+        rank_table = (
+            jnp.full((lattice + 1,), -1, jnp.int32)
+            .at[jnp.clip(occ_bins, 0, lattice)]
+            .set(jnp.arange(u_cap, dtype=jnp.int32), mode="drop")
+        )
+        # the sentinel slot absorbed the padded occ entries; invalidate it
+        rank_table = rank_table.at[lattice].set(-1)
+
     def body(acc, delta):
         target = occ_bins + delta  # sorted + const = sorted
-        nb_rank = jnp.searchsorted(occ_bins, target).astype(jnp.int32)
-        nb_rank_c = jnp.clip(nb_rank, 0, u_cap - 1)
-        present = occ_bins[nb_rank_c] == target
-        nb_row = jnp.where(present, nb_rank_c, u_cap - 1)
-        d2 = jnp.zeros((u_cap, K, K), dtype)
+        if use_table:
+            nb_rank = rank_table[jnp.clip(target, 0, lattice)]
+            present = (nb_rank >= 0) & (target >= 0) & (target < lattice)
+            nb_row = jnp.where(present, nb_rank, u_cap - 1)
+        else:
+            nb_rank = jnp.searchsorted(occ_bins, target).astype(jnp.int32)
+            nb_rank_c = jnp.clip(nb_rank, 0, u_cap - 1)
+            present = occ_bins[nb_rank_c] == target
+            nb_row = jnp.where(present, nb_rank_c, u_cap - 1)
+        d2 = jnp.zeros((K, K, u_cap), dtype)
         for d in range(3):
-            own = tables[d][:, :, None]  # (U, K, 1)
-            nb_tab = tables[d][nb_row][:, None, :]  # (U, 1, K)
+            own = tables_t[d][:, None, :]  # (K, 1, U)
+            # contiguous row gather in (U, K) layout, then relayout
+            nb_tab = tables[d][nb_row].T[None, :, :]  # (1, K, U)
             diff = own - nb_tab
             # inf - inf = nan guard: dummy slots must yield W = 0
             diff = jnp.where(jnp.isfinite(diff), diff, jnp.inf)
             d2 = d2 + diff * diff
         w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-        contrib = jnp.where(present[:, None], jnp.sum(w, axis=2), 0.0)
+        contrib = jnp.where(present[None, :], jnp.sum(w, axis=1), 0.0)
         return acc + contrib, None
 
     acc, _ = jax.lax.scan(
-        body, jnp.zeros((u_cap, K), dtype), stencil_flat
+        body, jnp.zeros((K, u_cap), dtype), stencil_flat
     )
 
     # read back per particle (sorted order), then undo the sort
-    rho_sorted = acc.reshape(-1)[jnp.clip(dest, 0, u_cap * K - 1)]
+    dest_t = jnp.where(slot < K, slot * u_cap + bin_rank, u_cap * K)
+    rho_sorted = acc.reshape(-1)[jnp.clip(dest_t, 0, u_cap * K - 1)]
     rho = (
         jnp.zeros((n,), dtype)
         .at[cell_list.order]
