@@ -856,10 +856,18 @@ def reconstruct_surface_subdomain_grid(
             pack_vertex_capacity=pack_vc,
             pack_triangle_capacity=pack_tc,
         )
-        pvx, pvy, pvz, phi, plo, t0, t1, t2, total_v, total_t = (
-            np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2]),
-            np.asarray(out[3]), np.asarray(out[4]), np.asarray(out[5]),
-            np.asarray(out[6]), np.asarray(out[7]), int(out[8]), int(out[9]),
+        total_v, total_t = int(out[8]), int(out[9])
+        # Transfer only (pow2-bucketed) device slices: the padded pack
+        # arrays would otherwise cross the (slow) host link in full.
+        tv = min(pack_vc, _pow2_at_least(total_v, lo=1024))
+        tt = min(pack_tc, _pow2_at_least(total_t, lo=1024))
+        pvx, pvy, pvz, phi, plo = (
+            np.asarray(out[0][:tv]), np.asarray(out[1][:tv]),
+            np.asarray(out[2][:tv]), np.asarray(out[3][:tv]),
+            np.asarray(out[4][:tv]),
+        )
+        t0, t1, t2 = (
+            np.asarray(out[5][:tt]), np.asarray(out[6][:tt]), np.asarray(out[7][:tt]),
         )
         all_vx.append(pvx[:total_v])
         all_vy.append(pvy[:total_v])
