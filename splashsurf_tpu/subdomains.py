@@ -687,8 +687,10 @@ def reconstruct_surface_subdomain_grid(
     )
     values_ext = jnp.concatenate([values, jnp.zeros((1,), dtype)])
 
-    # 2. decomposition into (subdomain, particle) pairs
-    pair_capacity = _pow2_at_least(int(n * 2) + 64)
+    # 2. decomposition into (subdomain, particle) pairs. Ghost duplication
+    # is typically ~30-45% (README.md:189 reports 42% for the canyon), so
+    # start at 1.5N; the retry loop grows the capacity if a frame exceeds it.
+    pair_capacity = _pow2_at_least(int(n * 1.5) + 64)
     prof_decomp = profile("decomposition")
     prof_decomp.__enter__()
     while True:
