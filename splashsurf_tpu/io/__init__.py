@@ -89,6 +89,10 @@ def write_mesh(path: str, mesh, point_attributes=None) -> None:
         from splashsurf_tpu.io import vtk
 
         vtk.write_mesh_vtk(path, mesh, point_attributes)
+    elif ext == "vtu":
+        from splashsurf_tpu.io import vtk
+
+        vtk.write_mesh_vtu(path, mesh, point_attributes)
     elif ext == "obj":
         from splashsurf_tpu.io import obj
 
@@ -115,6 +119,10 @@ def mesh_from_file(path: str):
         from splashsurf_tpu.io import vtk
 
         return vtk.mesh_from_vtk(path)
+    elif ext == "vtu":
+        from splashsurf_tpu.io import vtk
+
+        return vtk.mesh_from_vtu(path)
     else:
         raise ValueError(f"unsupported mesh input extension: .{ext} ({path})")
 

@@ -512,3 +512,119 @@ def write_particles_vtk(path: str, positions: np.ndarray, attributes=None) -> No
         f.write(np.full(n, 1, dtype=">i4").tobytes())  # VTK_VERTEX
         f.write(b"\n")
         _write_attributes_legacy(f, attributes, n)
+
+
+# ---------------------------------------------------------------------------
+# XML VTU writing
+# ---------------------------------------------------------------------------
+
+
+def write_mesh_vtu(path: str, mesh, point_attributes=None) -> None:
+    """Write a triangle mesh as XML VTU with raw appended data."""
+    verts = np.ascontiguousarray(mesh.vertices, dtype="<f8")
+    tris = np.ascontiguousarray(mesh.triangles, dtype="<i8")
+    n_pts, n_cells = len(verts), len(tris)
+    conn = tris.reshape(-1)
+    offs = (np.arange(1, n_cells + 1, dtype="<i8") * 3)
+    types = np.full(n_cells, 5, dtype="u1")  # VTK_TRIANGLE
+
+    blocks = [verts.tobytes(), conn.tobytes(), offs.tobytes(), types.tobytes()]
+    attr_meta = []
+    for name, data in (point_attributes or {}).items():
+        data = np.asarray(data)
+        ncomp = 1 if data.ndim == 1 else data.shape[1]
+        payload = np.ascontiguousarray(data, dtype="<f8").tobytes()
+        attr_meta.append((name, ncomp))
+        blocks.append(payload)
+
+    offsets, pos = [], 0
+    for b in blocks:
+        offsets.append(pos)
+        pos += 8 + len(b)  # UInt64 size header + payload
+
+    def da(dtype, name, ncomp, off):
+        nc = f' NumberOfComponents="{ncomp}"' if ncomp else ""
+        nm = f' Name="{name}"' if name else ""
+        return (
+            f'        <DataArray type="{dtype}"{nm}{nc} format="appended" '
+            f'offset="{off}"/>\n'
+        )
+
+    with open(path, "wb") as f:
+        f.write(b'<?xml version="1.0"?>\n')
+        f.write(
+            b'<VTKFile type="UnstructuredGrid" version="1.0" '
+            b'byte_order="LittleEndian" header_type="UInt64">\n'
+        )
+        f.write(b"  <UnstructuredGrid>\n")
+        f.write(
+            f'    <Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">\n'.encode()
+        )
+        f.write(b"      <Points>\n")
+        f.write(da("Float64", "Points", 3, offsets[0]).encode())
+        f.write(b"      </Points>\n      <Cells>\n")
+        f.write(da("Int64", "connectivity", 0, offsets[1]).encode())
+        f.write(da("Int64", "offsets", 0, offsets[2]).encode())
+        f.write(da("UInt8", "types", 0, offsets[3]).encode())
+        f.write(b"      </Cells>\n")
+        if attr_meta:
+            f.write(b"      <PointData>\n")
+            for (name, ncomp), off in zip(attr_meta, offsets[4:]):
+                f.write(da("Float64", name, ncomp if ncomp > 1 else 0, off).encode())
+            f.write(b"      </PointData>\n")
+        f.write(b"    </Piece>\n  </UnstructuredGrid>\n")
+        f.write(b'  <AppendedData encoding="raw">\n_')
+        for b in blocks:
+            f.write(struct.pack("<Q", len(b)))
+            f.write(b)
+        f.write(b"\n  </AppendedData>\n</VTKFile>\n")
+
+
+def mesh_from_vtu(path: str):
+    """Read a triangle mesh from a VTU file."""
+    from splashsurf_tpu.mesh import TriMesh3d
+
+    with open(path, "rb") as f:
+        content = f.read()
+    appended = None
+    encoding = "raw"
+    m = re.search(rb'<AppendedData\s+encoding="(\w+)"\s*>', content)
+    if m:
+        encoding = m.group(1).decode()
+        start = content.index(b"_", m.end()) + 1
+        end = content.rindex(b"</AppendedData>")
+        payload = content[start:end]
+        appended = (
+            re.sub(rb"\s", b"", payload) if encoding == "base64" else payload
+        )
+        content = content[: m.start()] + b"</VTKFile>"
+    root = ET.fromstring(content.decode("utf-8", errors="replace"))
+    byte_order = root.get("byte_order", "LittleEndian")
+    header_dtype = np.dtype(
+        _XML_DTYPES[root.get("header_type", "UInt32")]
+    ).newbyteorder("<" if byte_order == "LittleEndian" else ">")
+    compressed = root.get("compressor") is not None
+    piece = root.find(".//Piece")
+    pts = _vtu_data_array(
+        piece.find("./Points/DataArray"), appended, header_dtype, compressed,
+        byte_order, encoding,
+    )
+    n_points = int(piece.get("NumberOfPoints"))
+    verts = np.asarray(pts, np.float64).reshape(n_points, 3).astype(np.float32)
+    cells = {e.get("Name"): e for e in piece.findall("./Cells/DataArray")}
+    conn = np.asarray(
+        _vtu_data_array(cells["connectivity"], appended, header_dtype, compressed, byte_order, encoding),
+        np.int64,
+    )
+    offs = np.asarray(
+        _vtu_data_array(cells["offsets"], appended, header_dtype, compressed, byte_order, encoding),
+        np.int64,
+    )
+    tris = []
+    start = 0
+    for end in offs:
+        ids = conn[start:end]
+        if len(ids) == 3:
+            tris.append(ids)
+        start = end
+    return TriMesh3d(verts, np.asarray(tris, np.int32).reshape(-1, 3))

@@ -83,3 +83,24 @@ class TestRoundtrips:
     def test_unsupported_extension(self, tmp_path):
         with pytest.raises(ValueError, match="unsupported"):
             st_io.particles_from_file(str(tmp_path / "x.abc"))
+
+
+class TestVtuWrite:
+    def test_mesh_vtu_roundtrip(self, tmp_path, rng):
+        from splashsurf_tpu.io.vtk import write_mesh_vtu, mesh_from_vtu
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        tris = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int32)
+        path = str(tmp_path / "m.vtu")
+        write_mesh_vtu(path, TriMesh3d(verts, tris), {"q": rng.normal(size=4)})
+        back = mesh_from_vtu(path)
+        np.testing.assert_allclose(back.vertices, verts, atol=1e-6)
+        np.testing.assert_array_equal(back.triangles, tris)
+
+    def test_dispatch_vtu(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        tris = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int32)
+        path = str(tmp_path / "d.vtu")
+        st_io.write_mesh(path, TriMesh3d(verts, tris))
+        m = st_io.mesh_from_file(path)
+        assert m.num_triangles == 4

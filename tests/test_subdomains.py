@@ -193,3 +193,17 @@ class TestPallasKernel:
         np.testing.assert_allclose(
             np.asarray(ls_pal), np.asarray(ls_scan), atol=2e-5, rtol=1e-5
         )
+
+
+class TestDoublePrecisionSubdomains:
+    def test_f64_subdomain_path(self):
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 0.25, (800, 3))
+        p = st.Parameters.new_relative(
+            0.02, 4.0, 1.0, dtype="float64",
+            grid_decomposition=GridDecompositionParameters(16, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, p)
+        assert rec.mesh.vertices.dtype == np.float64
+        assert rec.subdomain_grid is not None
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
