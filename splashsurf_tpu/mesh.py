@@ -279,6 +279,7 @@ def check_mesh_consistency(
     check_closedness: bool = True,
     check_manifoldness: bool = True,
     debug: bool = False,
+    grid=None,
 ) -> Optional[str]:
     """Check that the mesh is closed and manifold (marching_cubes.rs:129-213).
 
@@ -286,6 +287,10 @@ def check_mesh_consistency(
     Closed + manifold here means: every edge is shared by exactly two
     triangles, and no vertex link is broken (we check edge criterion and
     degenerate triangles; full vertex-link check is in postprocess).
+
+    With ``debug=True``, defective edges are located: their positions (and,
+    if a background ``grid`` is given, the enclosing MC cell indices) are
+    included in the message, mirroring the reference's grid-cell debug info.
     """
     tris = np.asarray(triangles)
     errors = []
@@ -302,8 +307,18 @@ def check_mesh_consistency(
         nonmanifold = counts > 2
         if check_closedness and boundary.any():
             errors.append(f"{int(boundary.sum())} boundary (hole) edges")
+            if debug:
+                errors.append(
+                    _locate_edges(vertices, edges[boundary][:8], grid, "hole")
+                )
         if check_manifoldness and nonmanifold.any():
             errors.append(f"{int(nonmanifold.sum())} non-manifold edges")
+            if debug:
+                errors.append(
+                    _locate_edges(
+                        vertices, edges[nonmanifold][:8], grid, "non-manifold"
+                    )
+                )
         if check_manifoldness:
             nm_verts = _nonmanifold_vertices(tris, int(np.max(tris)) + 1)
             if nm_verts:
@@ -311,6 +326,22 @@ def check_mesh_consistency(
     if errors:
         return "; ".join(errors)
     return None
+
+
+def _locate_edges(vertices, edges, grid, label: str) -> str:
+    """Describe defective edges by midpoint (and grid cell if available)."""
+    verts = np.asarray(vertices)
+    parts = []
+    for a, b in edges:
+        mid = 0.5 * (verts[a] + verts[b])
+        loc = f"({mid[0]:.5g}, {mid[1]:.5g}, {mid[2]:.5g})"
+        if grid is not None:
+            cell = np.floor(
+                (mid - np.asarray(grid.min)) / grid.cell_size
+            ).astype(int)
+            loc += f" cell {tuple(cell.tolist())}"
+        parts.append(f"{label} edge v{a}-v{b} at {loc}")
+    return "; ".join(parts)
 
 
 def _nonmanifold_vertices(tris: np.ndarray, num_vertices: int) -> int:

@@ -239,6 +239,7 @@ def reconstruction_pipeline(
                 check_closedness=postprocessing.check_mesh_closed,
                 check_manifoldness=postprocessing.check_mesh_manifold,
                 debug=postprocessing.check_mesh_debug,
+                grid=grid,
             )
             if err is None and postprocessing.check_mesh_orientation:
                 err = _check_orientation(mesh)

@@ -240,3 +240,15 @@ class TestMeshUtils:
         assert cells.shape == (2, 8)
         assert len(verts) == 12  # two adjacent hexes share 4 corners
         assert sorted(vals.tolist()) == [2.0, 3.0]
+
+
+class TestDebugDiagnostics:
+    def test_defect_location_with_grid(self):
+        from splashsurf_tpu.mesh import check_mesh_consistency
+        from splashsurf_tpu import UniformGrid
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        tris = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2]], np.int32)  # open
+        grid = UniformGrid(min=(0.0, 0.0, 0.0), cell_size=0.5, n_cells=(4, 4, 4))
+        msg = check_mesh_consistency(verts, tris, debug=True, grid=grid)
+        assert "hole edge" in msg and "cell (" in msg
