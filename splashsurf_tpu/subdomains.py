@@ -827,7 +827,12 @@ def reconstruct_surface_subdomain_grid(
     ls_ext = jnp.concatenate([ls_all, jnp.zeros((1,) + ls_all.shape[1:], dtype)])
     sub_ijk_ext = np.concatenate([sub_ijk_all, np.zeros((1, 3), np.int32)])
 
-    mc_order = np.argsort(np.maximum(nv_all, nt_all), kind="stable")
+    # Fully-inside/outside subdomains emit nothing — skip them entirely
+    # (interior blocks of a dense fluid are often a large fraction of B).
+    active_rows = np.nonzero(nv_all > 0)[0]
+    mc_order = active_rows[
+        np.argsort(np.maximum(nv_all, nt_all)[active_rows], kind="stable")
+    ]
     _npx_g, npy_g, npz_g = sd.global_grid.n_points
     all_vx, all_vy, all_vz, all_keys = [], [], [], []
     all_t = []
@@ -835,16 +840,19 @@ def reconstruct_surface_subdomain_grid(
     # One set of capacities for ALL chunks: remote TPU compiles are far more
     # expensive than the padding waste of uniform shapes.
     chunk_sums_v = [
-        int(nv_all[mc_order[i : i + chunk_size]].sum()) for i in range(0, B, chunk_size)
+        int(nv_all[mc_order[i : i + chunk_size]].sum())
+        for i in range(0, len(mc_order), chunk_size)
     ]
     chunk_sums_t = [
-        int(nt_all[mc_order[i : i + chunk_size]].sum()) for i in range(0, B, chunk_size)
+        int(nt_all[mc_order[i : i + chunk_size]].sum())
+        for i in range(0, len(mc_order), chunk_size)
     ]
-    pack_vc = _pow2_at_least(max(chunk_sums_v))
-    pack_tc = _pow2_at_least(max(chunk_sums_t))
+    pack_vc = _pow2_at_least(max(chunk_sums_v) if chunk_sums_v else 1)
+    pack_tc = _pow2_at_least(max(chunk_sums_t) if chunk_sums_t else 1)
     i = 0
-    while i < B:
-        j = min(i + chunk_size, B)
+    B_active = len(mc_order)
+    while i < B_active:
+        j = min(i + chunk_size, B_active)
         rows = mc_order[i:j]
         rows_p = rows
         if len(rows) < chunk_size:
@@ -884,14 +892,21 @@ def reconstruct_surface_subdomain_grid(
         i = j
 
     prof_mc.__exit__(None, None, None)
-    with profile("stitching"):
-        mesh = _stitch_flat(
-            np.concatenate(all_vx),
-            np.concatenate(all_vy),
-            np.concatenate(all_vz),
-            np.concatenate(all_keys),
-            np.concatenate(all_t) if all_t else np.zeros((0, 3), np.int64),
-        )
+    if not all_vx:
+        # nothing crossed the iso threshold anywhere
+        with profile("stitching"):
+            mesh = TriMesh3d(
+                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+            )
+    else:
+        with profile("stitching"):
+            mesh = _stitch_flat(
+                np.concatenate(all_vx),
+                np.concatenate(all_vy),
+                np.concatenate(all_vz),
+                np.concatenate(all_keys),
+                np.concatenate(all_t),
+            )
 
     particle_neighbors = None
     if parameters.global_neighborhood_list:

@@ -207,3 +207,17 @@ class TestDoublePrecisionSubdomains:
         assert rec.mesh.vertices.dtype == np.float64
         assert rec.subdomain_grid is not None
         assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+
+class TestEmptySurface:
+    def test_threshold_above_everything(self):
+        # iso threshold unreachable -> empty mesh, no crash
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 0.2, (500, 3)).astype(np.float32)
+        p = st.Parameters.new_relative(
+            0.02, 4.0, 1.0, iso_surface_threshold=100.0,
+            grid_decomposition=GridDecompositionParameters(16, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, p)
+        assert rec.mesh.num_triangles == 0
+        assert rec.mesh.num_vertices == 0
