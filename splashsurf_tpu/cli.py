@@ -155,9 +155,27 @@ def initialize_logging(quiet: bool, verbose: int):
     )
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS for the CLI process.
+
+    The image's sitecustomize registers the axon TPU plugin and pre-imports
+    jax, so the env var alone is not enough — the config must be updated
+    explicitly (same recipe as tests/conftest.py).
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def run_splashsurf(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
     initialize_logging(args.quiet, args.verbose)
+    _apply_platform_env()
     from splashsurf_tpu.workspace import enable_persistent_cache
 
     enable_persistent_cache()
