@@ -13,8 +13,6 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from splashsurf_tpu import density as density_mod
-from splashsurf_tpu import mc
 from splashsurf_tpu import neighbors
 from splashsurf_tpu.mesh import TriMesh3d
 from splashsurf_tpu.params import Parameters
@@ -37,24 +35,30 @@ def reconstruct_surface_global(
     grid: UniformGrid,
     particle_inside_aabb: Optional[np.ndarray] = None,
 ) -> SurfaceReconstruction:
+    from splashsurf_tpu.ops.global_sweep import reconstruct_global_dense
+    from splashsurf_tpu.profiling import profile
+    from splashsurf_tpu.uniform_grid import kernel_extents
+
     positions = jnp.asarray(positions)
 
     # 1. per-particle densities (self-contribution included)
-    rho = compute_densities(positions, parameters)
+    with profile("compute particle densities"):
+        rho = compute_densities(positions, parameters)
 
-    # 2. level set splat onto the dense background grid
+    # 2.+3. raster splat sweep + packed marching cubes on the dense grid
     values = jnp.asarray(parameters.particle_rest_mass, rho.dtype) / rho
-    levelset = density_mod.splat_level_set_auto(
-        positions, values, grid, parameters.compact_support_radius
-    )
-
-    # 3. marching cubes (exact-size host wrapper)
-    mesh = mc.marching_cubes(
-        levelset,
+    hsc = kernel_extents(
+        parameters.compact_support_radius, grid.cell_size
+    ).half_supported_cells
+    verts, tris = reconstruct_global_dense(
+        positions,
+        values,
+        grid,
+        parameters.compact_support_radius,
+        hsc,
         parameters.iso_surface_threshold,
-        grid.cell_size,
-        grid.min,
     )
+    mesh = TriMesh3d(vertices=verts, triangles=tris)
 
     particle_neighbors = None
     if parameters.global_neighborhood_list:
@@ -66,7 +70,7 @@ def reconstruct_surface_global(
     return SurfaceReconstruction(
         grid=grid,
         mesh=mesh,
-        particle_densities=np.asarray(rho),
+        particle_densities=rho,  # device array; pulled lazily by consumers
         particle_neighbors=particle_neighbors,
         particle_inside_aabb=particle_inside_aabb,
     )

@@ -93,14 +93,17 @@ def max_bin_occupancy(cell_list: CellList) -> int:
     return bin_stats(cell_list)[0]
 
 
-def bin_stats(cell_list: CellList):
-    """(max occupancy, number of occupied bins) — one host sync."""
-    sb = cell_list.sorted_bins
+@jax.jit
+def _bin_stats_device(sb):
     change = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
     seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
     counts = jnp.zeros(sb.shape[0], jnp.int32).at[seg_id].add(1)
-    mx = jnp.max(counts)
-    u = seg_id[-1] + 1
+    return jnp.max(counts), seg_id[-1] + 1
+
+
+def bin_stats(cell_list: CellList):
+    """(max occupancy, number of occupied bins) — one host sync."""
+    mx, u = jax.device_get(_bin_stats_device(cell_list.sorted_bins))
     return int(mx), int(u)
 
 
@@ -366,8 +369,9 @@ def compute_particle_densities(
 ):
     """Convenience wrapper: builds the binning and picks capacities on host."""
     positions = jnp.asarray(positions)
-    mn = np.asarray(jnp.min(positions, axis=0))
-    mx = np.asarray(jnp.max(positions, axis=0))
+    mn, mx = jax.device_get(
+        (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
+    )
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
     cl = build_cell_list(positions, grid)
     max_occ, n_bins = bin_stats(cl)

@@ -55,6 +55,17 @@ def grid_for_reconstruction(
     return UniformGrid.from_aabb(aabb, cube_size)
 
 
+def _global_dense_max_cells() -> int:
+    """Largest grid (in cells) routed to the dense global pipeline.
+
+    ~40 bytes/cell peak (slot rasters + level set + MC masks); the default
+    48M cells ≈ 2 GB comfortably fits a single v5e/v5p chip's HBM.
+    """
+    import os
+
+    return int(os.environ.get("SPLASHSURF_TPU_GLOBAL_DENSE_MAX_CELLS", 48_000_000))
+
+
 def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceReconstruction:
     """Reconstruct a closed triangle mesh of the fluid surface.
 
@@ -62,9 +73,18 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
     pipeline depending on ``parameters.spatial_decomposition`` and the
     auto-disable heuristic (lib.rs:422-443).
     """
-    particle_positions = np.ascontiguousarray(
-        np.asarray(particle_positions), dtype=parameters.np_dtype
-    )
+    import jax
+
+    # Device arrays stay on device end to end (a frame fed from a previous
+    # device computation must not bounce through host memory).
+    on_device = isinstance(particle_positions, jax.Array)
+    if on_device:
+        if particle_positions.dtype != parameters.np_dtype:
+            particle_positions = particle_positions.astype(parameters.np_dtype)
+    else:
+        particle_positions = np.ascontiguousarray(
+            np.asarray(particle_positions), dtype=parameters.np_dtype
+        )
     if particle_positions.ndim != 2 or particle_positions.shape[1] != 3:
         raise ValueError(
             f"particle positions must have shape (N, 3), got {particle_positions.shape}"
@@ -106,7 +126,16 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
             10.0 + 2.0 * side
         ) * support
         dummies = start + cube * (2.0 * support)
-        particle_positions = np.concatenate([particle_positions, dummies], axis=0)
+        if on_device:
+            import jax.numpy as jnp
+
+            particle_positions = jnp.concatenate(
+                [particle_positions, jnp.asarray(dummies)], axis=0
+            )
+        else:
+            particle_positions = np.concatenate(
+                [particle_positions, dummies], axis=0
+            )
 
     decomposition = parameters.spatial_decomposition
     if decomposition == SpatialDecomposition.UNIFORM_GRID:
@@ -116,6 +145,13 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
             # single subdomain (lib.rs:422-443).
             max_cells = max(grid.n_cells)
             if max_cells <= 1.2 * n_sub:
+                decomposition = SpatialDecomposition.NONE
+            elif grid.total_cells <= _global_dense_max_cells():
+                # TPU dispatch: when the whole background grid fits in HBM,
+                # the dense global raster sweep beats the decomposition
+                # pipeline outright (no pair expansion/sort, no halo, no
+                # stitching). Decomposition remains the scalable path for
+                # sparse/huge domains (dense_subdomains.rs rationale).
                 decomposition = SpatialDecomposition.NONE
 
     if decomposition == SpatialDecomposition.UNIFORM_GRID:

@@ -578,7 +578,11 @@ def chunk_mc(
         pos_d = pos_d + jnp.where(axis == d, t, 0) * cs
         pvs.append(pos_d)
     pvx, pvy, pvz = pvs
-    phi, plo = khi.astype(jnp.int32), klo.astype(jnp.int32)
+    # Sentinel keys on pad rows so the device-side stitch can sort them to
+    # the end (pad rows would otherwise duplicate edge 0's key).
+    valid_v = jnp.arange(pack_vertex_capacity, dtype=jnp.int32) < total_v
+    phi = jnp.where(valid_v, khi.astype(jnp.int32), _INT32_MAX)
+    plo = jnp.where(valid_v, klo.astype(jnp.int32), _INT32_MAX)
 
     # --- phase 3: active-cell compaction + triangle emission --------------
     case = jnp.zeros((C, P - 1, P - 1, P - 1), jnp.int32)
@@ -921,7 +925,10 @@ def reconstruct_surface_subdomain_grid(
         grid=sd.global_grid,
         subdomain_grid=sd.subdomain_grid,
         mesh=mesh,
-        particle_densities=np.asarray(rho),
+        # Kept on device: pulling ~4 B/particle through a slow host link per
+        # frame is pure waste when the caller never reads them (numpy interop
+        # still works transparently via __array__).
+        particle_densities=rho,
         particle_neighbors=particle_neighbors,
         particle_inside_aabb=particle_inside_aabb,
     )
