@@ -367,6 +367,22 @@ def _pow2(n: int, lo: int = 1024) -> int:
     return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
 
 
+def _bucket16(n: int, lo: int = 1024) -> int:
+    """Round up to 16 steps per power of two (<= 6% transfer waste while
+    keeping the set of slice/pack program shapes small and cacheable)."""
+    n = max(int(n), lo)
+    p = 1 << max((n - 1).bit_length() - 4, 0)
+    return -(-n // p) * p
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "nt"))
+def _pack_mesh(vx, vy, vz, t0, t1, t2, nv: int, nt: int):
+    """Pack the mesh into two contiguous buffers for the host pull."""
+    verts = jnp.stack([vx[:nv], vy[:nv], vz[:nv]])
+    tris = jnp.stack([t0[:nt], t1[:nt], t2[:nt]])
+    return verts, tris
+
+
 def reconstruct_global_dense(
     positions,
     values,
@@ -414,26 +430,24 @@ def reconstruct_global_dense(
         with profile("marching cubes"):
             out = mc_global_packed(ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap)
         with profile("pull mesh"):
-            # one sync: totals + overflow validation
-            total_v, total_t = int(out[6]), int(out[7])
-            if int(n_over) > overflow_capacity:
+            # sync 1: totals + overflow validation (one batched round trip)
+            total_v, total_t, total_over = (
+                int(x) for x in jax.device_get((out[6], out[7], n_over))
+            )
+            if total_over > overflow_capacity:
                 raise RuntimeError(
-                    f"raster overflow {int(n_over)} exceeds capacity "
+                    f"raster overflow {total_over} exceeds capacity "
                     f"{overflow_capacity}; increase slots"
                 )
             if total_v > vcap or total_t > tcap:
                 caps = (_pow2(total_v * 5 // 4), _pow2(total_t * 5 // 4))
                 _MC_CAPS[key] = caps
                 continue
-            # slice on device so only (pow2-bucketed) used data crosses the link
-            tv = min(vcap, _pow2(total_v))
-            tt = min(tcap, _pow2(total_t))
-            vx = np.asarray(out[0][:tv])[:total_v]
-            vy = np.asarray(out[1][:tv])[:total_v]
-            vz = np.asarray(out[2][:tv])[:total_v]
-            t0 = np.asarray(out[3][:tt])[:total_t]
-            t1 = np.asarray(out[4][:tt])[:total_t]
-            t2 = np.asarray(out[5][:tt])[:total_t]
-        verts = np.stack([vx, vy, vz], axis=1)
-        tris = np.stack([t0, t1, t2], axis=1).astype(np.int32)
+            # sync 2: two packed, fine-bucketed buffers cross the link
+            nv_b = min(vcap, _bucket16(total_v))
+            nt_b = min(tcap, _bucket16(total_t))
+            pv, pt = _pack_mesh(*out[:6], nv=nv_b, nt=nt_b)
+            pv, pt = jax.device_get((pv, pt))
+        verts = np.ascontiguousarray(pv.T[:total_v])
+        tris = np.ascontiguousarray(pt.T[:total_t]).astype(np.int32)
         return verts, tris

@@ -651,6 +651,67 @@ def chunk_mc(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("v_out_cap", "t_out_cap"))
+def _stitch_device(vx, vy, vz, khi, klo, t0, t1, t2, t_counts, v_out_cap, t_out_cap):
+    """Device-side stitch: dedup vertices by global edge key, remap triangles.
+
+    All inputs are stacked per-chunk pack arrays: vx/vy/vz/khi/klo (nC, Vcap),
+    t0/t1/t2 (nC, Tcap) with chunk-local vertex indices, t_counts (nC,) true
+    triangle counts. Pad vertex rows carry INT32_MAX keys (chunk_mc). Replaces
+    the host-side np.unique stitch — only the final mesh crosses the host
+    link (ref stitching: dense_subdomains.rs:1603-1749).
+    """
+    nC, Vcap = vx.shape
+    flat = nC * Vcap
+    khi_f = khi.reshape(-1)
+    klo_f = klo.reshape(-1)
+    idx = jnp.arange(flat, dtype=jnp.int32)
+    khi_s, klo_s, idx_s = jax.lax.sort((khi_f, klo_f, idx), num_keys=2)
+    valid_s = khi_s != _INT32_MAX
+    is_new = valid_s & jnp.concatenate(
+        [
+            jnp.array([True]),
+            (khi_s[1:] != khi_s[:-1]) | (klo_s[1:] != klo_s[:-1]),
+        ]
+    )
+    uniq_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    total_unique = (uniq_rank[-1] + 1).astype(jnp.int32)
+    # inverse: concat pack index -> unique vertex index
+    inverse = (
+        jnp.zeros((flat,), jnp.int32)
+        .at[idx_s]
+        .set(jnp.where(valid_s, uniq_rank, 0), mode="drop", unique_indices=True)
+    )
+    udest = jnp.where(is_new, uniq_rank, v_out_cap)
+    uvx = jnp.zeros((v_out_cap,), vx.dtype).at[udest].set(
+        vx.reshape(-1)[idx_s], mode="drop", unique_indices=True
+    )
+    uvy = jnp.zeros((v_out_cap,), vy.dtype).at[udest].set(
+        vy.reshape(-1)[idx_s], mode="drop", unique_indices=True
+    )
+    uvz = jnp.zeros((v_out_cap,), vz.dtype).at[udest].set(
+        vz.reshape(-1)[idx_s], mode="drop", unique_indices=True
+    )
+
+    # triangles: compact chunk blocks to their true counts, remap indices
+    Tcap = t0.shape[1]
+    t_off = jnp.cumsum(t_counts) - t_counts  # (nC,)
+    row = jnp.arange(Tcap, dtype=jnp.int32)[None, :]
+    emit = row < t_counts[:, None]
+    tdest = jnp.where(emit, t_off[:, None] + row, t_out_cap).reshape(-1)
+    chunk_base = (jnp.arange(nC, dtype=jnp.int32) * Vcap)[:, None]
+    outs = []
+    for tc in (t0, t1, t2):
+        gi = inverse[(chunk_base + tc).reshape(-1)]
+        outs.append(
+            jnp.zeros((t_out_cap,), jnp.int32)
+            .at[tdest]
+            .set(gi, mode="drop", unique_indices=True)
+        )
+    total_t = jnp.sum(t_counts).astype(jnp.int32)
+    return uvx, uvy, uvz, outs[0], outs[1], outs[2], total_unique, total_t
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
@@ -658,6 +719,11 @@ def chunk_mc(
 
 def _pow2_at_least(n: int, lo: int = 16) -> int:
     return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+# fine-grained transfer bucketing + 2-buffer mesh pack (shared w/ global path)
+from splashsurf_tpu.ops.global_sweep import _bucket16  # noqa: E402
+from splashsurf_tpu.ops.global_sweep import _pack_mesh as _pack_mesh_sub  # noqa: E402
 
 
 def reconstruct_surface_subdomain_grid(
@@ -699,18 +765,22 @@ def reconstruct_surface_subdomain_grid(
     prof_decomp.__enter__()
     while True:
         tgt_s, pid_s, cell_s, rank_s, n_pairs = decompose(positions, sd, pair_capacity)
-        n_pairs = int(n_pairs)
+        # one batched round trip: true pair count + occupied-subdomain count
+        n_pairs, n_occ = (
+            int(x)
+            for x in jax.device_get((n_pairs, _count_segments(tgt_s, n_pairs)))
+        )
         if n_pairs <= pair_capacity:
             break
         pair_capacity = _pow2_at_least(n_pairs)
     # Occupied-subdomain segments computed on device: only (B,)-sized
     # arrays cross the host link instead of the full pair array.
-    n_occ = int(_count_segments(tgt_s, n_pairs))
     b_cap = _pow2_at_least(n_occ, lo=8)
     occ_d, starts_dv, counts_dv = _segments_device(tgt_s, n_pairs, b_cap)
-    occ_ids = np.asarray(occ_d[:n_occ]).astype(np.int64)
-    occ_starts = np.asarray(starts_dv[:n_occ]).astype(np.int64)
-    occ_counts = np.asarray(counts_dv[:n_occ]).astype(np.int64)
+    occ_np, starts_np, counts_np = jax.device_get((occ_d, starts_dv, counts_dv))
+    occ_ids = occ_np[:n_occ].astype(np.int64)
+    occ_starts = starts_np[:n_occ].astype(np.int64)
+    occ_counts = counts_np[:n_occ].astype(np.int64)
     prof_decomp.__exit__(None, None, None)
     B = len(occ_ids)
     if B == 0:
@@ -745,6 +815,7 @@ def reconstruct_surface_subdomain_grid(
     prof_splat = profile("level set splat")
     prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
+    raster_checks: List[tuple] = []  # deferred slot-overflow validation
     slot_budget = 1 << 21  # C*K particle-slot budget per chunk (HBM bound)
     def _k_bucket(n: int) -> int:
         # Particle-list capacities in factor-8 steps: at most ~4 distinct
@@ -791,15 +862,28 @@ def reconstruct_surface_subdomain_grid(
                 positions_ext, values_ext, plists, plocal, prank, sub_ijk, sd,
                 support, hsc, unroll=unroll,
             )
-            if int(max_row_over) > 256:
-                # pathological cell occupancy: redo this chunk exactly via
-                # the scatter path
-                ls = chunk_levelset_scatter(
-                    positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
-                )
+            # Overflow validation is deferred: pulling the scalar here would
+            # cost a host round trip per chunk (the dominant frame cost over
+            # a remote link). Keep what's needed for an exact scatter redo.
+            raster_checks.append(
+                (len(ls_parts), plists, sub_ijk, max_row_over)
+            )
         ls_parts.append(ls[: j - i])
         part_rows.append(order[i:j])
         i = j
+
+    # deferred raster-overflow validation: one host sync for all chunks;
+    # pathological chunks (cell occupancy > slot+overflow capacity) are
+    # redone exactly via the scatter path.
+    if raster_checks:
+        overs = jax.device_get([c[3] for c in raster_checks])
+        for (part_idx, plists_c, sub_ijk_c, _), over in zip(raster_checks, overs):
+            if int(over) > 256:
+                ls_redo = chunk_levelset_scatter(
+                    positions_ext, values_ext, plists_c, sub_ijk_c, sd, support, hsc
+                )
+                ls_parts[part_idx] = ls_redo[: ls_parts[part_idx].shape[0]]
+    raster_checks.clear()
 
     # reorder back to occ order
     ls_all = jnp.concatenate(ls_parts, axis=0)
@@ -821,8 +905,9 @@ def reconstruct_surface_subdomain_grid(
 
     # 5. batched marching cubes, chunked with capacity buckets
     with profile("mc counts"):
-        nv_all, nt_all = chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
-        nv_all, nt_all = np.asarray(nv_all), np.asarray(nt_all)
+        nv_all, nt_all = jax.device_get(
+            chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
+        )
 
     prof_mc = profile("marching cubes + pack")
     prof_mc.__enter__()
@@ -837,10 +922,6 @@ def reconstruct_surface_subdomain_grid(
     mc_order = active_rows[
         np.argsort(np.maximum(nv_all, nt_all)[active_rows], kind="stable")
     ]
-    _npx_g, npy_g, npz_g = sd.global_grid.n_points
-    all_vx, all_vy, all_vz, all_keys = [], [], [], []
-    all_t = []
-    v_running = 0
     # One set of capacities for ALL chunks: remote TPU compiles are far more
     # expensive than the padding waste of uniform shapes.
     chunk_sums_v = [
@@ -853,6 +934,7 @@ def reconstruct_surface_subdomain_grid(
     ]
     pack_vc = _pow2_at_least(max(chunk_sums_v) if chunk_sums_v else 1)
     pack_tc = _pow2_at_least(max(chunk_sums_t) if chunk_sums_t else 1)
+    chunk_outs = []
     i = 0
     B_active = len(mc_order)
     while i < B_active:
@@ -870,46 +952,31 @@ def reconstruct_surface_subdomain_grid(
             pack_vertex_capacity=pack_vc,
             pack_triangle_capacity=pack_tc,
         )
-        total_v, total_t = int(out[8]), int(out[9])
-        # Transfer only (pow2-bucketed) device slices: the padded pack
-        # arrays would otherwise cross the (slow) host link in full.
-        tv = min(pack_vc, _pow2_at_least(total_v, lo=1024))
-        tt = min(pack_tc, _pow2_at_least(total_t, lo=1024))
-        pvx, pvy, pvz, phi, plo = (
-            np.asarray(out[0][:tv]), np.asarray(out[1][:tv]),
-            np.asarray(out[2][:tv]), np.asarray(out[3][:tv]),
-            np.asarray(out[4][:tv]),
-        )
-        t0, t1, t2 = (
-            np.asarray(out[5][:tt]), np.asarray(out[6][:tt]), np.asarray(out[7][:tt]),
-        )
-        all_vx.append(pvx[:total_v])
-        all_vy.append(pvy[:total_v])
-        all_vz.append(pvz[:total_v])
-        all_keys.append(
-            phi[:total_v].astype(np.int64) * (npz_g * 3)
-            + plo[:total_v].astype(np.int64)
-        )
-        tri = np.stack([t0[:total_t], t1[:total_t], t2[:total_t]], axis=1)
-        all_t.append(tri.astype(np.int64) + v_running)
-        v_running += total_v
+        # accumulate on device: nothing crosses the host link per chunk
+        chunk_outs.append(out)
         i = j
 
     prof_mc.__exit__(None, None, None)
-    if not all_vx:
+    if not chunk_outs:
         # nothing crossed the iso threshold anywhere
-        with profile("stitching"):
-            mesh = TriMesh3d(
-                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-            )
+        mesh = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     else:
         with profile("stitching"):
-            mesh = _stitch_flat(
-                np.concatenate(all_vx),
-                np.concatenate(all_vy),
-                np.concatenate(all_vz),
-                np.concatenate(all_keys),
-                np.concatenate(all_t),
+            stacked = [
+                jnp.stack([o[k] for o in chunk_outs]) for k in range(8)
+            ]
+            t_counts = jnp.stack([o[9] for o in chunk_outs])
+            v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
+            t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
+            s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
+            total_v, total_t = (int(x) for x in jax.device_get((s[6], s[7])))
+            tv = min(v_out_cap, _bucket16(total_v))
+            tt = min(t_out_cap, _bucket16(total_t))
+            pv, pt = _pack_mesh_sub(*s[:6], nv=tv, nt=tt)
+            pv, pt = jax.device_get((pv, pt))
+            mesh = TriMesh3d(
+                vertices=np.ascontiguousarray(pv.T[:total_v]),
+                triangles=np.ascontiguousarray(pt.T[:total_t]).astype(np.int32),
             )
 
     particle_neighbors = None
