@@ -86,6 +86,10 @@ def __getattr__(name):
         )
 
         return neighborhood_search_spatial_hashing_parallel
+    if name in ("compute_neighborhood_stats", "NeighborhoodStats"):
+        from splashsurf_tpu import neighbors as _nb
+
+        return getattr(_nb, name)
     if name == "SphInterpolator":
         from splashsurf_tpu.sph_interpolation import SphInterpolator
 
@@ -130,6 +134,8 @@ __all__ = [
     "laplacian_smoothing_parallel",
     "laplacian_smoothing_normals_parallel",
     "neighborhood_search_spatial_hashing_parallel",
+    "compute_neighborhood_stats",
+    "NeighborhoodStats",
     "SphInterpolator",
     "run_splashsurf",
 ]

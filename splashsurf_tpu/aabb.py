@@ -32,7 +32,9 @@ class Aabb3d:
     @staticmethod
     def from_points(points) -> "Aabb3d":
         """Smallest AABB enclosing the given (N, 3) points (device reduction)."""
-        lo, hi = aabb_from_points(points)
+        import jax
+
+        lo, hi = jax.device_get(aabb_from_points(points))  # one round trip
         return Aabb3d(tuple(np.asarray(lo).tolist()), tuple(np.asarray(hi).tolist()))
 
     @staticmethod

@@ -61,11 +61,16 @@ def _build_reconstruct_parser(sub):
     p.add_argument("-d", "--double-precision", **_switch("off"))
     p.add_argument("--particle-aabb-min", type=float, nargs=3, default=None)
     p.add_argument("--particle-aabb-max", type=float, nargs=3, default=None)
-    # advanced
+    # advanced. --mt-particles/--simd are accepted for reference CLI parity
+    # but have no effect on TPU (all device computation is data-parallel and
+    # vectorized by construction); default None detects explicit use so the
+    # runner can warn.
     p.add_argument("--mt-files", **_switch("off"))
-    p.add_argument("--mt-particles", **_switch("on"))
+    p.add_argument(
+        "--mt-particles", **{**_switch("on"), "default": None}
+    )
     p.add_argument("-n", "--num-threads", type=int, default=None)
-    p.add_argument("--simd", **_switch("on"))
+    p.add_argument("--simd", **{**_switch("on"), "default": None})
     # decomposition
     p.add_argument("--subdomain-grid", **_switch("on"))
     p.add_argument("--subdomain-grid-auto-disable", **_switch("on"))
@@ -140,15 +145,22 @@ def make_parser() -> argparse.ArgumentParser:
     return parser
 
 
+VERBOSE_TRACE = 5  # below DEBUG: -vv, like the reference's Trace level
+
+
 def initialize_logging(quiet: bool, verbose: int):
-    """Verbosity mapping like the reference (logging.rs:76-138)."""
+    """Verbosity mapping like the reference (logging.rs:76-138):
+    default Info, -v Debug, -vv Trace (jax/XLA internals too), -q Warn."""
     level = logging.INFO
     if quiet:
         level = logging.WARNING
     elif verbose == 1:
         level = logging.DEBUG
     elif verbose >= 2:
-        level = logging.DEBUG
+        logging.addLevelName(VERBOSE_TRACE, "TRACE")
+        level = VERBOSE_TRACE
+        # surface jax's own debug logging at trace verbosity
+        logging.getLogger("jax").setLevel(logging.DEBUG)
     logging.basicConfig(
         level=level, format="[%(asctime)s.%(msecs)03d][%(levelname)s] %(message)s",
         datefmt="%H:%M:%S",
@@ -175,6 +187,13 @@ def _apply_platform_env():
 def run_splashsurf(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
     initialize_logging(args.quiet, args.verbose)
+    for flag in ("mt_particles", "simd"):
+        if getattr(args, flag, None) is not None:
+            logger.warning(
+                "--%s has no effect on TPU: device computation is "
+                "data-parallel and vector-unit-wide by construction",
+                flag.replace("_", "-"),
+            )
     _apply_platform_env()
     from splashsurf_tpu.workspace import enable_persistent_cache
 
@@ -191,6 +210,19 @@ def run_splashsurf(argv: Optional[List[str]] = None) -> int:
     from splashsurf_tpu import profiling
 
     logger.info("Timings:\n%s", profiling.write_to_string())
+    # Peak-memory report (reference: counting allocator, allocator.rs:5-82 +
+    # cli.rs:133-139 — here the accelerator HBM is the scarce resource).
+    from splashsurf_tpu.workspace import device_memory_stats
+
+    stats = device_memory_stats()
+    peak = stats.get("peak_bytes_in_use")
+    if peak is not None:
+        logger.info(
+            "Device memory: peak %.1f MB, in use %.1f MB (limit %.1f MB)",
+            peak / 1e6,
+            stats.get("bytes_in_use", 0) / 1e6,
+            stats.get("bytes_limit", 0) / 1e6,
+        )
     logger.info("Done in %.2fs.", time.perf_counter() - t0)
     return rc
 

@@ -345,37 +345,51 @@ def _locate_edges(vertices, edges, grid, label: str) -> str:
 
 
 def _nonmanifold_vertices(tris: np.ndarray, num_vertices: int) -> int:
-    """Count vertices whose incident triangle fan is not a single cycle."""
-    # For a closed manifold mesh, each vertex has equal counts of incident
-    # triangles and incident edges, and its link is a single cycle. We verify
-    # the cheap necessary condition #incident_edges == #incident_triangles
-    # plus connectivity of the link via union-find on the link edges.
-    from collections import defaultdict
+    """Count vertices whose incident triangle fan is not a single cycle.
 
-    incident = defaultdict(list)
-    for t_idx, (a, b, c) in enumerate(np.asarray(tris, dtype=np.int64)):
-        incident[a].append((b, c))
-        incident[b].append((c, a))
-        incident[c].append((a, b))
-    bad = 0
-    for v, link_edges in incident.items():
-        # The link of v must form one closed cycle: every link vertex appears
-        # exactly once as source and once as target.
-        srcs = [e[0] for e in link_edges]
-        dsts = [e[1] for e in link_edges]
-        if sorted(srcs) != sorted(dsts):
-            bad += 1
-            continue
-        nxt = dict(zip(srcs, dsts))
-        if len(nxt) != len(srcs):
-            bad += 1
-            continue
-        start = srcs[0]
-        seen = 1
-        cur = nxt[start]
-        while cur != start and seen <= len(srcs):
-            cur = nxt[cur]
-            seen += 1
-        if seen != len(srcs):
-            bad += 1
-    return bad
+    Fully vectorized (the per-vertex Python fan walk was O(V) interpreter
+    work — minutes on multi-million-vertex meshes): each triangle (a,b,c)
+    contributes the directed link edges (v=a: b->c), (v=b: c->a),
+    (v=c: a->b). A vertex is manifold iff its link edges form exactly one
+    permutation cycle. Successors are found by binary search over packed
+    (v, src) keys; cycles are counted by pointer-doubling min-propagation.
+    """
+    t = np.asarray(tris, dtype=np.int64)
+    if len(t) == 0:
+        return 0
+    nv = int(num_vertices)
+    V = np.concatenate([t[:, 0], t[:, 1], t[:, 2]])
+    S = np.concatenate([t[:, 1], t[:, 2], t[:, 0]])
+    D = np.concatenate([t[:, 2], t[:, 0], t[:, 1]])
+
+    key_src = V * nv + S
+    order = np.argsort(key_src, kind="stable")
+    ks = key_src[order]
+    bad = np.zeros(nv, bool)
+
+    # duplicate (v, src): two fan triangles leave the same link vertex
+    dup = ks[1:] == ks[:-1]
+    bad[(ks[1:][dup]) // nv] = True
+
+    # successor slot of (v, s)->(v, d) is the slot whose (v, src) == (v, d)
+    key_dst = V * nv + D
+    pos = np.searchsorted(ks, key_dst)
+    pos_c = np.minimum(pos, len(ks) - 1)
+    found = ks[pos_c] == key_dst
+    bad[V[~found]] = True  # a target that is never a source: open/torn fan
+    nxt = np.where(found, order[pos_c], np.arange(len(V)))
+
+    # pointer-doubling min-propagation: rep[i] = min slot in i's cycle
+    rep = np.arange(len(V))
+    hop = nxt.copy()
+    for _ in range(int(np.ceil(np.log2(max(len(V), 2)))) + 1):
+        rep = np.minimum(rep, rep[hop])
+        hop = hop[hop]
+    # one cycle per vertex <=> one distinct representative per vertex
+    reps_per_v = np.zeros(nv, np.int64)
+    is_rep = rep == np.arange(len(V))
+    np.add.at(reps_per_v, V[is_rep], 1)
+    has_link = np.zeros(nv, bool)
+    has_link[V] = True
+    bad |= has_link & (reps_per_v != 1)
+    return int(np.count_nonzero(bad))

@@ -98,13 +98,22 @@ def _bin_stats_device(sb):
     change = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
     seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
     counts = jnp.zeros(sb.shape[0], jnp.int32).at[seg_id].add(1)
-    return jnp.max(counts), seg_id[-1] + 1
+    # particles whose within-bin rank is >= 8 (size of the overflow set for
+    # the K=8 fast density path)
+    over8 = jnp.sum(jnp.maximum(counts - 8, 0))
+    return jnp.max(counts), seg_id[-1] + 1, over8
 
 
 def bin_stats(cell_list: CellList):
     """(max occupancy, number of occupied bins) — one host sync."""
-    mx, u = jax.device_get(_bin_stats_device(cell_list.sorted_bins))
+    mx, u, _ = jax.device_get(_bin_stats_device(cell_list.sorted_bins))
     return int(mx), int(u)
+
+
+def bin_stats_ex(cell_list: CellList):
+    """(max occupancy, occupied bins, #particles with bin-rank >= 8)."""
+    mx, u, o8 = jax.device_get(_bin_stats_device(cell_list.sorted_bins))
+    return int(mx), int(u), int(o8)
 
 
 def _stencil_segments(grid: BinGrid, cell_list: CellList, query_bin_ijk):
@@ -202,10 +211,10 @@ def to_csr(padded_lists: np.ndarray, counts: np.ndarray):
     counts = np.asarray(counts)
     offsets = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    indices = np.empty(int(offsets[-1]), dtype=np.int32)
     padded = np.asarray(padded_lists)
-    for i in range(len(counts)):
-        indices[offsets[i] : offsets[i + 1]] = padded[i, : counts[i]]
+    width = padded.shape[1] if padded.ndim == 2 else 0
+    mask = np.arange(width)[None, :] < counts[:, None]
+    indices = padded[mask].astype(np.int32)  # row-major: preserves order
     return offsets, indices
 
 
@@ -228,6 +237,51 @@ def neighborhood_search_spatial_hashing_parallel(
     return [lists[i, : counts[i]] for i in range(len(counts))]
 
 
+@dataclasses.dataclass
+class NeighborhoodStats:
+    """Neighbor-count statistics (neighborhood_search.rs:604-646 parity)."""
+
+    histogram: np.ndarray  # histogram[k] = number of particles with k neighbors
+    particles_with_neighbors: int
+    max_neighbors: int
+    avg_neighbors: float  # mean over particles with >= 1 neighbor
+
+    def __str__(self) -> str:
+        lines = [
+            f"Max neighbors: {self.max_neighbors}, avg neighbors: "
+            f"{self.avg_neighbors:.3f}, particles with neighbors: "
+            f"{self.particles_with_neighbors}",
+            "Histogram:",
+        ]
+        lines += [
+            f"{i:2d} neighbors: {int(c):10d}"
+            for i, c in enumerate(self.histogram)
+        ]
+        return "\n".join(lines)
+
+
+def compute_neighborhood_stats(neighborhood_lists) -> NeighborhoodStats:
+    """Histogram + min/max/avg of per-particle neighbor counts.
+
+    Accepts ragged lists (as returned by
+    ``neighborhood_search_spatial_hashing_parallel``) or a flat array of
+    counts. Mirrors ``compute_neigborhood_stats``
+    (neighborhood_search.rs:604-646).
+    """
+    if isinstance(neighborhood_lists, (list, tuple)):
+        counts = np.asarray([len(l) for l in neighborhood_lists], np.int64)
+    else:
+        counts = np.asarray(neighborhood_lists, np.int64)
+    hist = np.bincount(counts) if len(counts) else np.zeros(1, np.int64)
+    with_n = int(np.count_nonzero(counts))
+    return NeighborhoodStats(
+        histogram=hist,
+        particles_with_neighbors=with_n,
+        max_neighbors=int(counts.max()) if len(counts) else 0,
+        avg_neighbors=float(counts.sum() / with_n) if with_n else 0.0,
+    )
+
+
 def neighborhood_search_naive(positions: np.ndarray, radius: float):
     """O(N^2) oracle (neighborhood_search.rs:72-91), host-side."""
     p = np.asarray(positions, dtype=np.float64)
@@ -241,7 +295,10 @@ def neighborhood_search_naive(positions: np.ndarray, radius: float):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "capacity", "u_cap"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "capacity", "u_cap", "overflow_capacity", "candidate_capacity"),
+)
 def compute_particle_densities_binned(
     positions,
     grid: BinGrid,
@@ -250,6 +307,8 @@ def compute_particle_densities_binned(
     particle_rest_mass,
     capacity: int,
     u_cap: int,
+    overflow_capacity: int = 0,
+    candidate_capacity: int = 0,
 ):
     """SPH density per particle: rho_i = m * sum_j W(|x_j - x_i|).
 
@@ -262,8 +321,16 @@ def compute_particle_densities_binned(
     and no masking is needed; the self-term W(0) is included naturally
     (density_map.rs:169-185).
 
-    ``capacity`` must be >= the max bin occupancy; ``u_cap`` >= the number
-    of occupied bins.
+    ``capacity`` must be >= the max bin occupancy UNLESS ``overflow_capacity``
+    is set: then particles with bin-rank >= capacity are excluded from the
+    tables and handled exactly by a compact correction pass (their own rho
+    via candidate gathers including the self-term; their contribution to
+    table particles via one scatter-add). This keeps the dense pair blocks
+    at K=8 — the TPU sublane granule — when a few bins exceed it, instead
+    of padding every block to the global max occupancy.
+    ``candidate_capacity`` must be >= the true max bin occupancy when
+    ``overflow_capacity`` > 0; the number of rank>=capacity particles must
+    be <= overflow_capacity (host checks via ``bin_stats_ex``).
     """
     p = jnp.asarray(positions)
     dtype = p.dtype
@@ -353,11 +420,196 @@ def compute_particle_densities_binned(
     # read back per particle (sorted order), then undo the sort
     dest_t = jnp.where(slot < K, slot * u_cap + bin_rank, u_cap * K)
     rho_sorted = acc.reshape(-1)[jnp.clip(dest_t, 0, u_cap * K - 1)]
+    rho_sorted = jnp.where(slot < K, rho_sorted, 0.0)
     rho = (
         jnp.zeros((n,), dtype)
         .at[cell_list.order]
         .set(rho_sorted, mode="drop", unique_indices=True)
     )
+
+    if overflow_capacity:
+        rho = _overflow_correction(
+            positions, grid, cell_list, slot, K,
+            overflow_capacity, candidate_capacity, h, rho,
+        )
+
+    return jnp.asarray(particle_rest_mass, dtype) * rho
+
+
+def _overflow_correction(
+    positions, grid, cell_list, slot, K, OC, candidate_capacity, h, rho
+):
+    """Exact correction for rank>=K ("overflow") particles (traced helper).
+
+    Overflow particles are absent from the dense tables: their own density
+    is recomputed from full candidate gathers (incl. the self-term), and
+    their symmetric contribution is scatter-added into table particles.
+    """
+    p = jnp.asarray(positions)
+    dtype = p.dtype
+    n = p.shape[0]
+    over = slot >= K  # (N,) sorted order
+    odest = jnp.where(over, jnp.cumsum(over) - 1, OC)
+    opos = [
+        jnp.full((OC,), jnp.inf, dtype)
+        .at[odest]
+        .set(cell_list.sorted_positions[:, d], mode="drop", unique_indices=True)
+        for d in range(3)
+    ]
+    oidx = (
+        jnp.full((OC,), n, jnp.int32)
+        .at[odest]
+        .set(cell_list.order, mode="drop", unique_indices=True)
+    )
+    # candidate gathers over the full particle set (tables + overflow)
+    opos3 = jnp.stack(opos, axis=-1)  # (OC, 3) — small, layout is fine
+    idx, cmask = gather_candidates(opos3, grid, cell_list, candidate_capacity)
+    cpos = [p[:, d][idx] for d in range(3)]  # 3 x (OC, 27*cap)
+    d2o = jnp.zeros(idx.shape, dtype)
+    for d in range(3):
+        diff = cpos[d] - opos[d][:, None]
+        diff = jnp.where(jnp.isfinite(diff), diff, jnp.inf)
+        d2o = d2o + diff * diff
+    wo = jnp.where(cmask, kernels.cubic_kernel(jnp.sqrt(d2o), h), 0.0)
+    # own density: every candidate within support, incl. the self-term
+    rho_over = jnp.sum(wo, axis=1)
+    # symmetric contribution into table particles only (overflow-vs-
+    # overflow pairs are already counted in both rows' own sums)
+    rank_of = (
+        jnp.zeros((n,), jnp.int32)
+        .at[cell_list.order]
+        .set(slot, mode="drop", unique_indices=True)
+    )
+    to_table = cmask & (rank_of[idx] < K)
+    rho = rho.at[idx.reshape(-1)].add(
+        jnp.where(to_table, wo, 0.0).reshape(-1), mode="drop"
+    )
+    rho = rho.at[oidx].add(rho_over, mode="drop")
+    return rho
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "slots", "overflow_capacity", "candidate_capacity"),
+)
+def compute_particle_densities_raster(
+    positions,
+    grid: BinGrid,
+    cell_list: CellList,
+    compact_support_radius,
+    particle_rest_mass,
+    slots: int = 8,
+    overflow_capacity: int = 0,
+    candidate_capacity: int = 0,
+):
+    """SPH densities via a dense bin-raster sweep (no gathers in the hot loop).
+
+    Particles are rasterized into (slots, LX+2, LY+2, LZ+2) per-component
+    bin-fraction arrays over the *whole* bin lattice; every one of the 27
+    stencil offsets is then a static shifted window: the pair distance is
+    frac_q - (frac_src_window + offset * bin_size), a pure VPU expression.
+    This is the density analog of the level-set raster sweep and avoids the
+    per-offset row gathers/transposes that dominate the table formulation —
+    the right shape for mostly-occupied lattices (dense fluids).
+
+    Requires a lattice small enough to materialize (host wrapper gates it);
+    rank>=slots particles go through the exact overflow correction.
+    """
+    p = jnp.asarray(positions)
+    dtype = p.dtype
+    h = jnp.asarray(compact_support_radius, dtype)
+    n = p.shape[0]
+    LX, LY, LZ = grid.dims
+    sb = cell_list.sorted_bins
+
+    # within-bin ranks in sorted order
+    is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_starts = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(is_start, run_id, n)]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    slot = idx - run_starts[run_id]
+
+    # rasterize bin fractions, padded by one bin on every side
+    Xp, Yp, Zp = LX + 2, LY + 2, LZ + 2
+    bx = sb // (LY * LZ)
+    by = (sb // LZ) % LY
+    bz = sb % LZ
+    ok = slot < slots
+    total = slots * Xp * Yp * Zp
+    dest = jnp.where(
+        ok,
+        ((slot * Xp + bx + 1) * Yp + by + 1) * Zp + (bz + 1),
+        total,
+    )
+    bs = jnp.asarray(grid.bin_size, dtype)
+    mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
+    bcoord = [bx, by, bz]
+    rasters = []
+    for d in range(3):
+        frac = cell_list.sorted_positions[:, d] - (
+            mn[d] + bcoord[d].astype(dtype) * bs
+        )
+        rasters.append(
+            jnp.full((total,), jnp.inf, dtype)
+            .at[dest]
+            .set(frac, mode="drop", unique_indices=True)
+            .reshape(slots, Xp, Yp, Zp)
+        )
+
+    # dense 27-offset sweep: acc[si, bin] += sum_sj W(|dq - dsrc|).
+    # The (y, z) plane is flattened into the minor (lane) dimension so a
+    # (o1, o2) window shift is one contiguous lane slice — keeping LZ as the
+    # minor dim would pad it to 128 TPU lanes (a 3.5x waste at typical
+    # lattice shapes). Lane overrun past each row's LZ reads pad values
+    # (inf -> W = 0), never out of range (Zp + 1 + W <= Yp*Zp).
+    W = LY * Zp
+    # +2 tail lanes: the widest window (shift 2*Zp+2, width W) ends exactly
+    # 2 lanes past Yp*Zp
+    flat = [
+        jnp.pad(
+            r.reshape(slots, Xp, Yp * Zp),
+            ((0, 0), (0, 0), (0, 2)),
+            constant_values=jnp.inf,
+        )
+        for r in rasters
+    ]
+    fq = [r[:, 1 : 1 + LX, Zp + 1 : Zp + 1 + W] for r in flat]
+    acc = jnp.zeros((slots, LX, W), dtype)
+    for o0 in (0, 1, 2):
+        for o1 in (0, 1, 2):
+            for o2 in (0, 1, 2):
+                shift = o1 * Zp + o2
+                d2 = jnp.zeros((slots, slots, LX, W), dtype)
+                for d, od in enumerate((o0, o1, o2)):
+                    win = flat[d][:, o0 : o0 + LX, shift : shift + W]
+                    # empty slots: inf fracs -> d2 = inf -> W = 0 exactly;
+                    # NaNs (inf - inf) only reach empty *query* slots, which
+                    # the readback never touches.
+                    diff = fq[d][:, None] - (
+                        win[None, :] + jnp.asarray(od - 1, dtype) * bs
+                    )
+                    d2 = d2 + diff * diff
+                w = kernels.cubic_kernel(jnp.sqrt(d2), h)
+                acc = acc + jnp.sum(w, axis=1)
+
+    # read back per particle, undo the sort
+    acc_flat = acc.reshape(-1)
+    src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
+    rho_sorted = jnp.where(ok, acc_flat[src], 0.0)
+    rho = (
+        jnp.zeros((n,), dtype)
+        .at[cell_list.order]
+        .set(rho_sorted, mode="drop", unique_indices=True)
+    )
+    if overflow_capacity:
+        rho = _overflow_correction(
+            positions, grid, cell_list, slot, slots,
+            overflow_capacity, candidate_capacity, h, rho,
+        )
     return jnp.asarray(particle_rest_mass, dtype) * rho
 
 
@@ -374,10 +626,50 @@ def compute_particle_densities(
     )
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
     cl = build_cell_list(positions, grid)
-    max_occ, n_bins = bin_stats(cl)
-    if capacity is None:
-        capacity = _round_up(max_occ)
+    max_occ, n_bins, over8 = bin_stats_ex(cl)
+    n = positions.shape[0]
     u_cap = 1 << max(int(n_bins) - 1, 1).bit_length()
+    overflow_capacity = 0
+    candidate_capacity = 0
+    over_budget = max(4096, n // 128)
+
+    # Dense bin lattices (the common dense-fluid case) take the raster-sweep
+    # formulation: shifted windows instead of per-offset row gathers.
+    lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    if (
+        capacity is None
+        and lattice <= 8_000_000
+        and n_bins >= lattice // 4
+        and (max_occ <= 8 or over8 <= over_budget)
+    ):
+        if max_occ > 8:
+            overflow_capacity = _round_up(max(over8, 256), 1024)
+            candidate_capacity = _round_up(max_occ)
+        return compute_particle_densities_raster(
+            positions,
+            grid,
+            cl,
+            compact_support_radius,
+            particle_rest_mass,
+            slots=8,
+            overflow_capacity=overflow_capacity,
+            candidate_capacity=candidate_capacity,
+        )
+
+    if capacity is None:
+        if max_occ <= 8:
+            capacity = 8
+        elif over8 <= over_budget:
+            # K=8 fast path: the few rank>=8 particles go through the exact
+            # overflow correction instead of padding every pair block
+            capacity = 8
+            overflow_capacity = _round_up(max(over8, 256), 1024)
+            candidate_capacity = _round_up(max_occ)
+        else:
+            capacity = _round_up(max_occ)
+    elif capacity < max_occ:
+        # an insufficient explicit capacity would silently truncate sums
+        capacity = _round_up(max_occ)
     return compute_particle_densities_binned(
         positions,
         grid,
@@ -386,6 +678,8 @@ def compute_particle_densities(
         particle_rest_mass,
         capacity,
         u_cap,
+        overflow_capacity=overflow_capacity,
+        candidate_capacity=candidate_capacity,
     )
 
 

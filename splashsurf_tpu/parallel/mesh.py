@@ -39,6 +39,148 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "sub") -> Mesh:
     return Mesh(np.array(devs), (axis_name,))
 
 
+# ---------------------------------------------------------------------------
+# production sharded kernels (shard_map over the subdomain batch axis)
+#
+# The subdomain batch is the parallel axis (the TPU analog of the reference's
+# Rayon task pool over subdomains, dense_subdomains.rs:521-526). shard_map
+# (not bare GSPMD) guarantees the splat's flat scatters and the MC's global
+# cumsum compaction stay shard-local; the only collective is the halo
+# exchange, which all-gathers the 26 *mirror regions* (faces/edges/corners,
+# ~P^2 + ... floats per subdomain — ~10x less than the full P^3 blocks).
+# A ppermute ring is NOT applicable here: the neighbor graph over *occupied*
+# subdomains is irregular and data-dependent (occupancy gaps), so there is
+# no static device permutation that realizes it; the mirror-region
+# all-gather is the minimal static collective that does.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_splat_scatter(mesh: Mesh, sd: SubdomainGridParams, hsc: int, support: float):
+    """jitted shard_map wrapper: scatter splat, batch axis sharded."""
+    from jax import shard_map
+
+    def local(positions_ext, values_ext, plists, sub_ijk):
+        return sub_mod.chunk_levelset_scatter(
+            positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,  # scan carries inside the kernels start unvarying
+            in_specs=(P(), P(), P("sub"), P("sub")),
+            out_specs=P("sub"),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_splat_raster(
+    mesh: Mesh, sd: SubdomainGridParams, hsc: int, support: float, unroll
+):
+    """jitted shard_map wrapper: raster-sweep splat (Pallas on TPU)."""
+    from jax import shard_map
+
+    def local(positions_ext, values_ext, plists, plocal, prank, sub_ijk):
+        ls, over = sub_mod.chunk_levelset_raster(
+            positions_ext, values_ext, plists, plocal, prank, sub_ijk,
+            sd, support, hsc, unroll=unroll,
+        )
+        # replicate the overflow scalar so the P() out-spec holds
+        return ls, jax.lax.pmax(over, "sub")
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,  # scan carries inside the kernels start unvarying
+            in_specs=(P(), P(), P("sub"), P("sub"), P("sub"), P("sub")),
+            out_specs=(P("sub"), P()),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_halo_overwrite(mesh: Mesh):
+    """jitted shard_map halo pass: all-gather of the 26 mirror regions over
+    ICI, then the same min-subdomain-id overwrite as the single-chip pass."""
+    from jax import shard_map
+    from splashsurf_tpu.subdomains import _DIRS26, _INT32_MAX, _mirror, _region
+
+    def local(ls, own_flat, nb_idx, nb_flat):
+        Pn = ls.shape[1]
+        out = ls
+        best = jnp.broadcast_to(
+            own_flat[:, None, None, None], ls.shape
+        ).astype(jnp.int32)
+        for d, o in enumerate(_DIRS26):
+            reg_s = (slice(None),) + tuple(_region(int(c), Pn) for c in o)
+            reg_t = (slice(None),) + tuple(_mirror(int(c), Pn) for c in o)
+            mirror = ls[reg_t]  # local rows' donated region
+            full = jax.lax.all_gather(mirror, "sub", axis=0, tiled=True)
+            cand_val = full[nb_idx[d]]
+            cand_flat = nb_flat[d][:, None, None, None]
+            take = cand_flat < best[reg_s]
+            out = out.at[reg_s].set(jnp.where(take, cand_val, out[reg_s]))
+            best = best.at[reg_s].set(jnp.where(take, cand_flat, best[reg_s]))
+        return out
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,  # scan carries inside the kernels start unvarying
+            in_specs=(P("sub"), P("sub"), P(None, "sub"), P(None, "sub")),
+            out_specs=P("sub"),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_mc_counts(mesh: Mesh, sd: SubdomainGridParams):
+    from jax import shard_map
+
+    def local(ls, iso):
+        return sub_mod.chunk_mc_counts(ls, sd, iso)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,  # scan carries inside the kernels start unvarying
+            in_specs=(P("sub"), P()),
+            out_specs=(P("sub"), P("sub")),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_chunk_mc(mesh: Mesh, sd: SubdomainGridParams, vcap_local: int, tcap_local: int):
+    """jitted shard_map MC: each shard compacts its rows into its own pack
+    arrays; the device stitch dedups across shards afterwards."""
+    from jax import shard_map
+
+    def local(ls, sub_ijk, iso):
+        out = sub_mod.chunk_mc(
+            ls, sub_ijk, sd, iso,
+            pack_vertex_capacity=vcap_local,
+            pack_triangle_capacity=tcap_local,
+        )
+        return tuple(o[None] for o in out)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,  # scan carries inside the kernels start unvarying
+            in_specs=(P("sub"), P("sub"), P()),
+            out_specs=tuple([P("sub")] * 10),
+        )
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sd", "hsc", "vertex_capacity", "triangle_capacity"),

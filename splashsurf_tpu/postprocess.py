@@ -31,10 +31,13 @@ from splashsurf_tpu.uniform_grid import UniformGrid
 
 def _csr_to_padded(offsets: np.ndarray, neighbors: np.ndarray, num_vertices: int):
     counts = np.diff(offsets)
-    width = int(counts.max()) if len(counts) else 1
+    width = max(int(counts.max()) if len(counts) else 1, 1)
     pad = np.full((num_vertices, width), num_vertices, dtype=np.int64)
-    for i in range(num_vertices):
-        pad[i, : counts[i]] = neighbors[offsets[i] : offsets[i + 1]]
+    rows = np.repeat(np.arange(num_vertices, dtype=np.int64), counts)
+    cols = np.arange(len(neighbors), dtype=np.int64) - np.repeat(
+        offsets[:-1], counts
+    )
+    pad[rows, cols] = neighbors
     return pad, counts
 
 
@@ -267,21 +270,7 @@ def _collect_single_barnacle_collapses(he: HalfEdgeTriMesh):
 
 
 def _collect_double_barnacle_collapses(he: HalfEdgeTriMesh):
-    # reuse the detection logic of merge_double_barnacle_configurations but
-    # return the queue instead of executing it
-    collected = []
-
-    original = _process_collapse_queue_iterative
-
-    def capture(_he, collapses):
-        collected.extend(collapses)
-
-    try:
-        globals()["_process_collapse_queue_iterative"] = capture
-        merge_double_barnacle_configurations(he)
-    finally:
-        globals()["_process_collapse_queue_iterative"] = original
-    return collected
+    return detect_double_barnacle_collapses(he)
 
 
 def _process_collapse_queue(he: HalfEdgeTriMesh, collapses):
@@ -331,6 +320,12 @@ def merge_single_barnacle_configurations(he: HalfEdgeTriMesh):
 def merge_double_barnacle_configurations(he: HalfEdgeTriMesh):
     """Double barnacle: two adjacent valence-5 centers with ring valence
     multiset [5,5,5,6,6] (postprocessing.rs:532-686)."""
+    _process_collapse_queue_iterative(he, detect_double_barnacle_collapses(he))
+
+
+def detect_double_barnacle_collapses(he: HalfEdgeTriMesh):
+    """Detection half of the double-barnacle merge: returns the collapse
+    queue [(v_from, v_to), ...] without mutating the mesh."""
 
     def is_center(i):
         if not he.is_valid_vertex(i) or he.vertex_one_ring_len(i) != 5:
@@ -403,7 +398,7 @@ def merge_double_barnacle_configurations(he: HalfEdgeTriMesh):
             insert(i, j, k)
         for k in list(he.adj[j]):
             insert(j, i, k)
-    _process_collapse_queue_iterative(he, list(collapses.items()))
+    return list(collapses.items())
 
 
 # ---------------------------------------------------------------------------

@@ -108,24 +108,33 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
 
     # Bucket the particle count so animation sequences with varying N reuse
     # compiled programs (remote TPU compiles cost minutes). Padding dummies
-    # sit on a line outside the grid, spaced one support radius apart: they
-    # occupy no subdomain, contribute exactly W=0 everywhere, and each lands
-    # in its own neighborhood bin.
+    # form a compact block at ordinary particle spacing just outside the
+    # grid: they occupy no subdomain, contribute exactly W=0 to every real
+    # particle/grid point (>= 3 support radii away), and keep the density
+    # bin lattice small (a support-spaced block would inflate the lattice —
+    # and the dense density sweep — by an order of magnitude).
     n_real = len(particle_positions)
     granularity = 1 << max(n_real.bit_length() - 3, 6)
     n_padded = -(-n_real // granularity) * granularity
     if n_padded > n_real:
         pad = n_padded - n_real
         support = parameters.compact_support_radius
+        # 0.51 support: at most 2 dummies per axis land in any
+        # support-sized density bin (8 per bin), and never 3 — an exact
+        # half-bin lattice would tie-break on float rounding into 27/bin,
+        # forcing thousands of particles through the overflow path.
+        spacing = 0.51 * support
         side = int(np.ceil(pad ** (1.0 / 3.0)))
         ii = np.arange(pad)
         cube = np.stack(
             [ii // (side * side), (ii // side) % side, ii % side], axis=1
         ).astype(particle_positions.dtype)
-        start = np.asarray(grid.min, dtype=particle_positions.dtype) - (
-            10.0 + 2.0 * side
-        ) * support
-        dummies = start + cube * (2.0 * support)
+        # Offset along -x only, flush with the grid corner in y/z: the
+        # density bin lattice spans the union box of real+dummy particles,
+        # so a diagonal offset would inflate it in every dimension.
+        start = np.asarray(grid.min, dtype=particle_positions.dtype).copy()
+        start[0] -= 4.0 * support + side * spacing
+        dummies = start + cube * spacing
         if on_device:
             import jax.numpy as jnp
 

@@ -733,7 +733,11 @@ def reconstruct_surface_subdomain_grid(
     particle_inside_aabb: Optional[np.ndarray] = None,
     chunk_size: int = 32,
     raster_threshold: Optional[int] = None,
+    sharded: Optional[bool] = None,
 ) -> SurfaceReconstruction:
+    """Subdomain-grid reconstruction; distributes the subdomain batch over
+    all available devices via shard_map when more than one is present
+    (``sharded=None`` auto-detects; pass False to force single-device)."""
     positions = jnp.asarray(positions)
     n = positions.shape[0]
     sd = initialize_parameters(parameters, grid)
@@ -741,6 +745,19 @@ def reconstruct_surface_subdomain_grid(
     hsc = sd.margin_cells
     iso = parameters.iso_surface_threshold
     dtype = positions.dtype
+
+    n_dev = len(jax.devices())
+    if sharded is None:
+        sharded = n_dev > 1
+    dev_mesh = None
+    if sharded and n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from splashsurf_tpu.parallel import mesh as pmesh
+
+        dev_mesh = pmesh.make_mesh()
+        batch_sh = NamedSharding(dev_mesh, PartitionSpec("sub"))
+        nbtab_sh = NamedSharding(dev_mesh, PartitionSpec(None, "sub"))
+        repl_sh = NamedSharding(dev_mesh, PartitionSpec())
 
     # 1. global per-particle densities
     with profile("compute particle densities"):
@@ -815,6 +832,9 @@ def reconstruct_surface_subdomain_grid(
     prof_splat = profile("level set splat")
     prof_splat.__enter__()
     starts_d = jnp.asarray(occ_starts)
+    if dev_mesh is not None:
+        positions_ext = jax.device_put(positions_ext, repl_sh)
+        values_ext = jax.device_put(values_ext, repl_sh)
     raster_checks: List[tuple] = []  # deferred slot-overflow validation
     slot_budget = 1 << 21  # C*K particle-slot budget per chunk (HBM bound)
     def _k_bucket(n: int) -> int:
@@ -844,6 +864,8 @@ def reconstruct_surface_subdomain_grid(
         # fixed batch size per K bucket: one jit shape per (C, K) combo
         cap = raster_chunk_cap if K > threshold else chunk_size
         C = min(cap, max(1, slot_budget // K))
+        if dev_mesh is not None:
+            C = -(-C // n_dev) * n_dev  # whole rows per device shard
         if C > step:
             rows = np.concatenate([rows, np.full(C - step, rows[-1])])
         # gather pair slices on device
@@ -851,17 +873,34 @@ def reconstruct_surface_subdomain_grid(
         rows_d = jnp.asarray(rows)
         plists = _gather_pairs(pid_s, starts_d, counts_d, rows_d, K, n)
         sub_ijk = jnp.asarray(sub_ijk_all[rows])
+        if dev_mesh is not None:
+            plists = jax.device_put(plists, batch_sh)
+            sub_ijk = jax.device_put(sub_ijk, batch_sh)
         if K <= threshold:
-            ls = chunk_levelset_scatter(
-                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
-            )
+            if dev_mesh is not None:
+                f = pmesh.sharded_splat_scatter(dev_mesh, sd, hsc, float(support))
+                ls = f(positions_ext, values_ext, plists, sub_ijk)
+            else:
+                ls = chunk_levelset_scatter(
+                    positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+                )
         else:
             plocal = _gather_pairs(cell_s, starts_d, counts_d, rows_d, K, 0)
             prank = _gather_pairs(rank_s, starts_d, counts_d, rows_d, K, 1 << 30)
-            ls, max_row_over = chunk_levelset_raster(
-                positions_ext, values_ext, plists, plocal, prank, sub_ijk, sd,
-                support, hsc, unroll=unroll,
-            )
+            if dev_mesh is not None:
+                plocal = jax.device_put(plocal, batch_sh)
+                prank = jax.device_put(prank, batch_sh)
+                f = pmesh.sharded_splat_raster(
+                    dev_mesh, sd, hsc, float(support), unroll
+                )
+                ls, max_row_over = f(
+                    positions_ext, values_ext, plists, plocal, prank, sub_ijk
+                )
+            else:
+                ls, max_row_over = chunk_levelset_raster(
+                    positions_ext, values_ext, plists, plocal, prank, sub_ijk, sd,
+                    support, hsc, unroll=unroll,
+                )
             # Overflow validation is deferred: pulling the scalar here would
             # cost a host round trip per chunk (the dominant frame cost over
             # a remote link). Keep what's needed for an exact scatter redo.
@@ -879,9 +918,14 @@ def reconstruct_surface_subdomain_grid(
         overs = jax.device_get([c[3] for c in raster_checks])
         for (part_idx, plists_c, sub_ijk_c, _), over in zip(raster_checks, overs):
             if int(over) > 256:
-                ls_redo = chunk_levelset_scatter(
-                    positions_ext, values_ext, plists_c, sub_ijk_c, sd, support, hsc
-                )
+                if dev_mesh is not None:
+                    f = pmesh.sharded_splat_scatter(dev_mesh, sd, hsc, float(support))
+                    ls_redo = f(positions_ext, values_ext, plists_c, sub_ijk_c)
+                else:
+                    ls_redo = chunk_levelset_scatter(
+                        positions_ext, values_ext, plists_c, sub_ijk_c, sd,
+                        support, hsc,
+                    )
                 ls_parts[part_idx] = ls_redo[: ls_parts[part_idx].shape[0]]
     raster_checks.clear()
 
@@ -897,17 +941,54 @@ def reconstruct_surface_subdomain_grid(
     # 4. canonical halo overwrite
     with profile("halo overwrite"):
         nb_idx, nb_flat = _neighbor_tables(occ_ids, sub_ijk_all, sd)
-        ls_all = halo_overwrite(
-            ls_all, jnp.asarray(occ_ids.astype(np.int32)), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
-        )
+        own_flat_np = occ_ids.astype(np.int32)
+        if dev_mesh is not None:
+            # pad the batch to a whole number of rows per device; pad rows
+            # are empty (zero level set, absent neighbors) and emit nothing
+            B_pad = -(-B // n_dev) * n_dev
+            if B_pad > B:
+                padn = B_pad - B
+                ls_all = jnp.concatenate(
+                    [ls_all, jnp.zeros((padn,) + ls_all.shape[1:], dtype)]
+                )
+                own_flat_np = np.concatenate(
+                    [own_flat_np, np.full(padn, _INT32_MAX, np.int32)]
+                )
+                nb_idx = np.concatenate(
+                    [nb_idx, np.zeros((26, padn), np.int32)], axis=1
+                )
+                nb_flat = np.concatenate(
+                    [nb_flat, np.full((26, padn), _INT32_MAX, np.int32)], axis=1
+                )
+                sub_ijk_all = np.concatenate(
+                    [sub_ijk_all, np.zeros((padn, 3), np.int32)]
+                )
+            ls_all = jax.device_put(ls_all, batch_sh)
+            halo_f = pmesh.sharded_halo_overwrite(dev_mesh)
+            ls_all = halo_f(
+                ls_all,
+                jax.device_put(jnp.asarray(own_flat_np), batch_sh),
+                jax.device_put(jnp.asarray(nb_idx), nbtab_sh),
+                jax.device_put(jnp.asarray(nb_flat), nbtab_sh),
+            )
+        else:
+            ls_all = halo_overwrite(
+                ls_all, jnp.asarray(own_flat_np), jnp.asarray(nb_idx), jnp.asarray(nb_flat)
+            )
         if _PROFILE_SYNC:
             ls_all.block_until_ready()
 
     # 5. batched marching cubes, chunked with capacity buckets
     with profile("mc counts"):
-        nv_all, nt_all = jax.device_get(
-            chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
-        )
+        if dev_mesh is not None:
+            counts_f = pmesh.sharded_mc_counts(dev_mesh, sd)
+            nv_all, nt_all = jax.device_get(
+                counts_f(ls_all, jnp.asarray(iso, dtype))
+            )
+        else:
+            nv_all, nt_all = jax.device_get(
+                chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
+            )
 
     prof_mc = profile("marching cubes + pack")
     prof_mc.__enter__()
@@ -924,34 +1005,51 @@ def reconstruct_surface_subdomain_grid(
     ]
     # One set of capacities for ALL chunks: remote TPU compiles are far more
     # expensive than the padding waste of uniform shapes.
+    mc_chunk = chunk_size
+    if dev_mesh is not None:
+        mc_chunk = -(-chunk_size // n_dev) * n_dev
     chunk_sums_v = [
-        int(nv_all[mc_order[i : i + chunk_size]].sum())
-        for i in range(0, len(mc_order), chunk_size)
+        int(nv_all[mc_order[i : i + mc_chunk]].sum())
+        for i in range(0, len(mc_order), mc_chunk)
     ]
     chunk_sums_t = [
-        int(nt_all[mc_order[i : i + chunk_size]].sum())
-        for i in range(0, len(mc_order), chunk_size)
+        int(nt_all[mc_order[i : i + mc_chunk]].sum())
+        for i in range(0, len(mc_order), mc_chunk)
     ]
     pack_vc = _pow2_at_least(max(chunk_sums_v) if chunk_sums_v else 1)
     pack_tc = _pow2_at_least(max(chunk_sums_t) if chunk_sums_t else 1)
     chunk_outs = []
     i = 0
     B_active = len(mc_order)
+    dummy_row = ls_all.shape[0]  # the appended all-outside row in ls_ext
+    if dev_mesh is not None:
+        mc_f = pmesh.sharded_chunk_mc(dev_mesh, sd, pack_vc, pack_tc)
     while i < B_active:
-        j = min(i + chunk_size, B_active)
+        j = min(i + mc_chunk, B_active)
         rows = mc_order[i:j]
         rows_p = rows
-        if len(rows) < chunk_size:
-            # pad with the dummy empty row (index B)
-            rows_p = np.concatenate([rows, np.full(chunk_size - len(rows), B)])
-        out = chunk_mc(
-            ls_ext[jnp.asarray(rows_p)],
-            jnp.asarray(sub_ijk_ext[rows_p]),
-            sd,
-            jnp.asarray(iso, dtype),
-            pack_vertex_capacity=pack_vc,
-            pack_triangle_capacity=pack_tc,
-        )
+        if len(rows) < mc_chunk:
+            # pad with the dummy empty row
+            rows_p = np.concatenate(
+                [rows, np.full(mc_chunk - len(rows), dummy_row)]
+            )
+        ls_chunk = ls_ext[jnp.asarray(rows_p)]
+        ijk_chunk = jnp.asarray(sub_ijk_ext[rows_p])
+        if dev_mesh is not None:
+            out = mc_f(
+                jax.device_put(ls_chunk, batch_sh),
+                jax.device_put(ijk_chunk, batch_sh),
+                jnp.asarray(iso, dtype),
+            )
+        else:
+            out = chunk_mc(
+                ls_chunk,
+                ijk_chunk,
+                sd,
+                jnp.asarray(iso, dtype),
+                pack_vertex_capacity=pack_vc,
+                pack_triangle_capacity=pack_tc,
+            )
         # accumulate on device: nothing crosses the host link per chunk
         chunk_outs.append(out)
         i = j
@@ -962,10 +1060,18 @@ def reconstruct_surface_subdomain_grid(
         mesh = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     else:
         with profile("stitching"):
-            stacked = [
-                jnp.stack([o[k] for o in chunk_outs]) for k in range(8)
-            ]
-            t_counts = jnp.stack([o[9] for o in chunk_outs])
+            if dev_mesh is not None:
+                # sharded chunk outputs are (n_dev, cap): one pack per shard
+                stacked = [
+                    jnp.concatenate([o[k] for o in chunk_outs], axis=0)
+                    for k in range(8)
+                ]
+                t_counts = jnp.concatenate([o[9] for o in chunk_outs])
+            else:
+                stacked = [
+                    jnp.stack([o[k] for o in chunk_outs]) for k in range(8)
+                ]
+                t_counts = jnp.stack([o[9] for o in chunk_outs])
             v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
             t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
             s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
