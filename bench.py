@@ -46,7 +46,7 @@ def bench_stage(stage: str, n: int, repeats: int):
     from splashsurf_tpu import neighbors
 
     radius = 0.011
-    pts = make_dam_break(n, radius)
+    pts = jax.device_put(make_dam_break(n, radius))
     params = st.Parameters.new_relative(radius, 4.0, 1.5)
 
     if stage == "density":
@@ -57,8 +57,7 @@ def bench_stage(stage: str, n: int, repeats: int):
     elif stage == "aabb":
         from splashsurf_tpu.aabb import aabb_from_points
 
-        arr = jnp.asarray(pts)
-        f = lambda: aabb_from_points(arr)
+        f = lambda: aabb_from_points(pts)
         unit, scale = "Mparticles/s", n / 1e6
     elif stage == "normals":
         rec = st.reconstruct_surface(pts, params)
@@ -70,10 +69,38 @@ def bench_stage(stage: str, n: int, repeats: int):
         f = lambda: nf(v, t)
         unit, scale = "Mtris/s", len(rec.mesh.triangles) / 1e6
     elif stage == "mc":
-        rec = st.reconstruct_surface(pts, params)
-        n_cells = rec.grid.total_cells
-        f = lambda: st.reconstruct_surface(pts, params)
-        unit, scale = "Mcells/s", n_cells / 1e6
+        # isolated marching cubes over the dense level set (BASELINE.json
+        # metric 3: Mcells/s)
+        from splashsurf_tpu.ops import global_sweep as gs
+        from splashsurf_tpu.reconstruction import grid_for_reconstruction
+        from splashsurf_tpu.uniform_grid import kernel_extents
+
+        h = params.compact_support_radius
+        grid = grid_for_reconstruction(
+            np.asarray(pts), radius, h, params.cube_size
+        )
+        hsc = kernel_extents(h, grid.cell_size).half_supported_cells
+        rho = neighbors.compute_particle_densities(
+            pts, h, params.particle_rest_mass
+        )
+        values = jnp.asarray(params.particle_rest_mass, jnp.float32) / rho
+        on_tpu = jax.default_backend() == "tpu"
+        r = gs.rasterize_global(
+            pts, values, grid, 2, hsc, gs._pow2(n // 64, lo=4096),
+            lane_align=128 if on_tpu else 1,
+        )
+        ls = gs.sweep_global(
+            *r[:8], grid, float(h), hsc, "pallas" if on_tpu else "scan"
+        )
+        ls.block_until_ready()
+        from splashsurf_tpu.mc.dense import _mc_counts
+
+        iso = jnp.float32(params.iso_surface_threshold)
+        nv, nt = jax.device_get(_mc_counts(ls, iso))
+        vcap = gs._bucket16(int(nv) * 5 // 4)
+        tcap = gs._bucket16(int(nt) * 5 // 4)
+        f = lambda: gs.mc_global_packed(ls, grid, iso, vcap, tcap)
+        unit, scale = "Mcells/s", grid.total_cells / 1e6
     else:
         raise SystemExit(f"unknown stage {stage}")
 
@@ -108,12 +135,19 @@ def main():
         choices=["density", "aabb", "normals", "mc"],
         help="micro-benchmark one stage instead of the full frame",
     )
+    ap.add_argument(
+        "--frames",
+        type=int,
+        default=0,
+        help="sequence mode: reconstruct N jittered frames back to back "
+        "and report frames/s (the --mt-files analog on-device)",
+    )
     args = ap.parse_args()
     if args.stage:
         from splashsurf_tpu.workspace import enable_persistent_cache
 
         enable_persistent_cache()
-        bench_stage(args.stage, min(args.n, 1_000_000), args.repeats)
+        bench_stage(args.stage, args.n, args.repeats)
         return
     if args.smoke:
         args.n = min(args.n, 100_000)
@@ -156,6 +190,32 @@ def main():
         f"{rec.mesh.num_vertices} verts / {rec.mesh.num_triangles} tris",
         file=sys.stderr,
     )
+
+    if args.frames:
+        # sequence mode: steady-state frames/s over a longer run (frame t+1
+        # is already on device while t finishes — dispatch overlap counts)
+        seq = [
+            jax.device_put(pts + np.float32(1e-5 * radius * (k + 7)))
+            for k in range(args.frames)
+        ]
+        jax.block_until_ready(seq)
+        t0 = time.perf_counter()
+        for fr in seq:
+            rec = st.reconstruct_surface(fr, params)
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "sequence_frames_per_second",
+                    "value": round(args.frames / dt, 3),
+                    "unit": "frames/s",
+                    "vs_baseline": round(
+                        (args.frames / dt) / (13_353_401 / 2.467 / n), 3
+                    ),
+                }
+            )
+        )
+        return
 
     times = []
     for frame in frames:

@@ -315,8 +315,20 @@ def reconstruct_subcommand(args) -> int:
         jax.config.update("jax_enable_x64", True)
 
     inp = args.input_file_or_sequence
+
+    def _resolve_out(name: str) -> str:
+        # reference semantics: a relative -o lands inside --output-dir; an
+        # absolute -o wins over --output-dir (reconstruct.rs output handling)
+        if args.output_dir and not os.path.isabs(name):
+            return os.path.join(args.output_dir, name)
+        return name
+
     if is_sequence(inp):
-        out_pattern = args.output_file or default_output_name(inp, args.output_dir)
+        out_pattern = (
+            _resolve_out(args.output_file)
+            if args.output_file
+            else default_output_name(inp, args.output_dir)
+        )
         jobs = collect_sequence(
             inp, out_pattern, args.start_index, args.end_index
         )
@@ -325,9 +337,11 @@ def reconstruct_subcommand(args) -> int:
             return 1
         logger.info("Found %d input files for sequence %r", len(jobs), inp)
     else:
-        out = args.output_file or default_output_name(inp, args.output_dir)
-        if args.output_dir and args.output_file:
-            out = os.path.join(args.output_dir, args.output_file)
+        out = (
+            _resolve_out(args.output_file)
+            if args.output_file
+            else default_output_name(inp, args.output_dir)
+        )
         from splashsurf_tpu.sequence import SequencePaths
 
         jobs = [SequencePaths(input_file=inp, output_file=out)]

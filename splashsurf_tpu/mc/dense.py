@@ -238,18 +238,31 @@ def decode_edge_flat(edge_flat, n_points: Tuple[int, int, int]):
 
     Inverse of the x,y,z-concatenated edge layout. Returns (axis (...,),
     ijk (..., 3)) as int32; invalid ids (< 0) decode to axis 0, ijk 0.
+
+    Decoded per axis with COMPILE-TIME-constant divisors (a gathered
+    per-element stride would force the TPU's slow general integer
+    division), then axis-selected.
     """
-    shapes, strides, offsets, _total = edge_layout(n_points)
+    _shapes, strides, offsets, _total = edge_layout(n_points)
     edge_flat = jnp.asarray(edge_flat)
     safe = jnp.maximum(edge_flat, 0)
     axis = jnp.where(
         safe >= offsets[2], 2, jnp.where(safe >= offsets[1], 1, 0)
     ).astype(jnp.int32)
-    local = safe - jnp.asarray(offsets)[axis]
-    s = jnp.asarray(strides)[axis]  # (..., 3)
-    i = local // s[..., 0]
-    j = (local % s[..., 0]) // s[..., 1]
-    k = local % s[..., 1]
+    i = jnp.zeros_like(safe)
+    j = jnp.zeros_like(safe)
+    k = jnp.zeros_like(safe)
+    for a in range(3):
+        la = safe - offsets[a]
+        s0, s1, _ = strides[a]
+        ia = la // s0
+        ra = la - ia * s0
+        ja = ra // s1
+        ka = ra - ja * s1
+        sel = axis == a
+        i = jnp.where(sel, ia, i)
+        j = jnp.where(sel, ja, j)
+        k = jnp.where(sel, ka, k)
     return axis, jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
 
 

@@ -141,11 +141,94 @@ class MeshAttribute:
 
 @dataclasses.dataclass
 class MeshWithData:
-    """A mesh bundled with named point/cell attributes (mesh.rs:1227)."""
+    """A mesh bundled with named point/cell attributes (mesh.rs:1227).
+
+    The topology-editing operations remap BOTH point and cell attributes
+    through the surviving vertex/cell index maps, like the reference's
+    ``MeshWithData`` (mesh.rs:1227+)."""
 
     mesh: Union[TriMesh3d, MixedTriQuadMesh3d]
     point_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
     cell_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
+
+    def _require_tri(self) -> "TriMesh3d":
+        if not isinstance(self.mesh, TriMesh3d):
+            raise TypeError(
+                "attribute-remapping topology ops require a TriMesh3d"
+            )
+        return self.mesh
+
+    def keep_cells(self, cell_indices: np.ndarray) -> "MeshWithData":
+        """Keep the given cells; point/cell attributes follow the maps."""
+        mesh = self._require_tri()
+        cell_indices = np.asarray(cell_indices)
+        tris = np.asarray(mesh.triangles)[cell_indices]
+        used = np.zeros(mesh.num_vertices, dtype=bool)
+        used[tris.ravel()] = True
+        return MeshWithData(
+            mesh=mesh.keep_cells(cell_indices),
+            point_attributes=[
+                MeshAttribute(a.name, np.asarray(a.data)[used])
+                for a in self.point_attributes
+            ],
+            cell_attributes=[
+                MeshAttribute(a.name, np.asarray(a.data)[cell_indices])
+                for a in self.cell_attributes
+            ],
+        )
+
+    def keep_vertices(self, vertex_mask: np.ndarray) -> "MeshWithData":
+        """Keep flagged vertices; cells with a dropped corner are removed and
+        their cell attributes with them."""
+        mesh = self._require_tri()
+        vertex_mask = np.asarray(vertex_mask, dtype=bool)
+        tri_keep = vertex_mask[np.asarray(mesh.triangles)].all(axis=1)
+        return MeshWithData(
+            mesh=mesh.keep_vertices(vertex_mask),
+            point_attributes=[
+                MeshAttribute(a.name, np.asarray(a.data)[vertex_mask])
+                for a in self.point_attributes
+            ],
+            cell_attributes=[
+                MeshAttribute(a.name, np.asarray(a.data)[tri_keep])
+                for a in self.cell_attributes
+            ],
+        )
+
+    def par_clamp_with_aabb(
+        self, aabb, clamp_vertices: bool = False
+    ) -> "MeshWithData":
+        """Remove (or clamp) geometry outside an AABB, attributes included
+        (mesh.rs:334 + MeshWithData remapping)."""
+        mesh = self._require_tri()
+        verts = np.asarray(mesh.vertices)
+        lo = np.asarray(aabb.min, dtype=verts.dtype)
+        hi = np.asarray(aabb.max, dtype=verts.dtype)
+        if clamp_vertices:
+            return MeshWithData(
+                mesh=TriMesh3d(np.clip(verts, lo, hi), mesh.triangles),
+                point_attributes=self.point_attributes,
+                cell_attributes=self.cell_attributes,
+            )
+        inside = np.all((verts >= lo) & (verts <= hi), axis=1)
+        return self.keep_vertices(inside)
+
+    def remap_through_vertex_map(
+        self, new_mesh: "TriMesh3d", vertex_map
+    ) -> "MeshWithData":
+        """Carry point attributes through a decimation/cleanup vertex map
+        (``vertex_map[new_vertex] = old_vertex``, as returned by
+        ``marching_cubes_cleanup`` / ``decimation``). Cell attributes cannot
+        survive a collapse that changes the cell set and are dropped."""
+        vm = np.asarray(vertex_map)
+        return MeshWithData(
+            mesh=new_mesh,
+            point_attributes=[
+                MeshAttribute(a.name, np.asarray(a.data)[vm])
+                for a in self.point_attributes
+            ],
+            cell_attributes=[],
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,13 @@ def bin_stats_ex(cell_list: CellList):
     return int(mx), int(u), int(o8)
 
 
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _build_cell_list_with_stats(positions, grid: BinGrid):
+    """Cell list + occupancy stats in one dispatch (one host round trip)."""
+    cl = build_cell_list(positions, grid)
+    return cl, _bin_stats_device(cl.sorted_bins)
+
+
 def _stencil_segments(grid: BinGrid, cell_list: CellList, query_bin_ijk):
     """(starts, counts) of the 27 neighbor-bin segments per query.
 
@@ -625,8 +632,8 @@ def compute_particle_densities(
         (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
     )
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
-    cl = build_cell_list(positions, grid)
-    max_occ, n_bins, over8 = bin_stats_ex(cl)
+    cl, stats = _build_cell_list_with_stats(positions, grid)
+    max_occ, n_bins, over8 = (int(x) for x in jax.device_get(stats))
     n = positions.shape[0]
     u_cap = 1 << max(int(n_bins) - 1, 1).bit_length()
     overflow_capacity = 0

@@ -36,7 +36,8 @@ from splashsurf_tpu.uniform_grid import UniformGrid
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "slots", "hsc", "overflow_capacity")
+    jax.jit,
+    static_argnames=("grid", "slots", "hsc", "overflow_capacity", "lane_align"),
 )
 def rasterize_global(
     positions,  # (N, 3)
@@ -45,6 +46,7 @@ def rasterize_global(
     slots: int,
     hsc: int,
     overflow_capacity: int,
+    lane_align: int = 1,
 ):
     """Rasterize particles into per-cell slot tables over the whole grid.
 
@@ -67,7 +69,10 @@ def rasterize_global(
     n = positions.shape[0]
     ncx, ncy, ncz = grid.n_cells
     pad = hsc + 1
-    Xp, Yp, Zp = ncx + 2 * pad, ncy + 2 * pad, ncz + 2 * pad
+    Xp, Yp = ncx + 2 * pad, ncy + 2 * pad
+    # lane_align=128 for the Pallas sweep: Mosaic DMA memref views require
+    # the minor (lane) dimension to be tile-aligned
+    Zp = -(-(ncz + 2 * pad) // lane_align) * lane_align
 
     cs = jnp.asarray(grid.cell_size, dtype)
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
@@ -201,7 +206,18 @@ def sweep_global(
     h = jnp.asarray(compact_support_radius, dtype)
     offs = gather_cell_offsets(hsc) + pad  # slice starts in [0, 2*hsc+2)
 
-    if backend == "unroll":
+    if backend in ("pallas", "pallas_interpret"):
+        from splashsurf_tpu.ops.splat_pallas import sweep_global_pallas
+
+        acc = sweep_global_pallas(
+            fx, fy, fz, fv,
+            cell_size=grid.cell_size,
+            compact_support_radius=float(compact_support_radius),
+            hsc=hsc,
+            n_points=grid.n_points,
+            interpret=(backend == "pallas_interpret"),
+        )
+    elif backend == "unroll":
         acc = jnp.zeros((PX, PY, PZ), dtype)
         for s in range(S):
             for o0, o1, o2 in offs:
@@ -277,15 +293,20 @@ def mc_global_packed(
         sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
         masks.append((inside[sl0] != inside[sl1]).reshape(-1))
     mask = jnp.concatenate(masks)
-    vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    total_v = (vidx[-1] + 1).astype(jnp.int32)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    vidx = csum - 1
+    total_v = csum[-1]
     n_edges = mask.shape[0]
-    vdest = jnp.where(mask, vidx, vertex_capacity)
-    active_edge = (
-        jnp.zeros((vertex_capacity,), jnp.int32)
-        .at[vdest]
-        .set(jnp.arange(n_edges, dtype=jnp.int32), mode="drop", unique_indices=True)
-    )
+    # k-th active edge = first position where the inclusive cumsum reaches
+    # k+1: a vectorized binary search over the (sorted) cumsum — ~5x cheaper
+    # than a capacity scatter whose sources span all n_edges elements.
+    active_edge = jnp.clip(
+        jnp.searchsorted(
+            csum, jnp.arange(1, vertex_capacity + 1, dtype=jnp.int32)
+        ),
+        0,
+        n_edges - 1,
+    ).astype(jnp.int32)
 
     # --- phase 2: vertex data on the active set ---------------------------
     axis, ijk = mc_dense.decode_edge_flat(active_edge, (PX, PY, PZ))
@@ -312,17 +333,23 @@ def mc_global_packed(
         case = case | (corner.astype(jnp.int32) << c8)
     case_flat = case.reshape(-1)
     counts = jnp.asarray(lut.TRI_COUNT, jnp.int32)[case_flat]
-    offsets = jnp.cumsum(counts) - counts
-    total_t = (offsets[-1] + counts[-1]).astype(jnp.int32)
+    ccum = jnp.cumsum(counts)
+    offsets = ccum - counts
+    total_t = ccum[-1]
 
     n_cells_flat = case_flat.shape[0]
-    cdest = jnp.where(counts > 0, offsets, triangle_capacity)
-    active_cell = (
-        jnp.zeros((triangle_capacity,), jnp.int32)
-        .at[cdest]
-        .set(jnp.arange(n_cells_flat, dtype=jnp.int32), mode="drop", unique_indices=True)
-    )
-    active_cell = jax.lax.associative_scan(jnp.maximum, active_cell)
+    # slot t's emitting cell = first cell whose inclusive count-cumsum
+    # exceeds t (binary search; replaces the offset scatter + forward-fill
+    # scan of the round-1 design)
+    active_cell = jnp.clip(
+        jnp.searchsorted(
+            ccum,
+            jnp.arange(triangle_capacity, dtype=jnp.int32),
+            side="right",
+        ),
+        0,
+        n_cells_flat - 1,
+    ).astype(jnp.int32)
     acase = case_flat[active_cell]
     acounts = counts[active_cell]
     aoffsets = offsets[active_cell]
@@ -403,12 +430,14 @@ def reconstruct_global_dense(
     positions = jnp.asarray(positions)
     n = positions.shape[0]
     if backend is None:
-        backend = "unroll" if jax.default_backend() == "tpu" else "scan"
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
     overflow_capacity = _pow2(n // 64, lo=4096)
+    lane_align = 128 if backend.startswith("pallas") else 1
 
     with profile("rasterize"):
         fx, fy, fz, fv, opx, opy, opz, oval, n_over = rasterize_global(
-            positions, values, grid, slots, hsc, overflow_capacity
+            positions, values, grid, slots, hsc, overflow_capacity,
+            lane_align=lane_align,
         )
     with profile("levelset sweep"):
         ls = sweep_global(
@@ -422,7 +451,7 @@ def reconstruct_global_dense(
     if caps is None:
         with profile("mc counts"):
             nv, nt = mc_dense._mc_counts(ls, jnp.asarray(iso, ls.dtype))
-            caps = (_pow2(int(nv) * 5 // 4), _pow2(int(nt) * 5 // 4))
+            caps = (_bucket16(int(nv) * 5 // 4), _bucket16(int(nt) * 5 // 4))
             _MC_CAPS[key] = caps
 
     while True:
@@ -440,7 +469,7 @@ def reconstruct_global_dense(
                     f"{overflow_capacity}; increase slots"
                 )
             if total_v > vcap or total_t > tcap:
-                caps = (_pow2(total_v * 5 // 4), _pow2(total_t * 5 // 4))
+                caps = (_bucket16(total_v * 5 // 4), _bucket16(total_t * 5 // 4))
                 _MC_CAPS[key] = caps
                 continue
             # sync 2: two packed, fine-bucketed buffers cross the link

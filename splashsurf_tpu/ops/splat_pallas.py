@@ -28,6 +28,110 @@ import numpy as np
 TILE_X = 8
 
 
+def sweep_global_pallas(
+    fx, fy, fz, fv,  # (S, Xp, Yp, Zp) padded cell-fraction rasters
+    cell_size: float,
+    compact_support_radius: float,
+    hsc: int,
+    n_points,  # (PX, PY, PZ)
+    interpret: bool = False,
+):
+    """Global-grid level-set sweep: one output x-plane per program instance.
+
+    Per instance: DMA the 2*(hsc+1) input x-planes of every (slot,
+    component) raster into VMEM, then accumulate the ~|ball| statically
+    pruned (o1, o2) windows per plane — (PY, PZ) VPU expressions with
+    sublane (o1) and small lane (o2 < 2*hsc+2) shifts only. The reference
+    analog is the AVX2/NEON density grid loop (dense_subdomains.rs:849-1133)
+    applied to the whole background grid instead of per-subdomain blocks.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from splashsurf_tpu.density import gather_cell_offsets
+
+    S, Xp, Yp, Zp = fx.shape
+    PX, PY, PZ = (int(v) for v in n_points)
+    p = hsc + 1
+    offs = gather_cell_offsets(hsc) + p
+    by_o0 = {}
+    for o0, o1, o2 in offs:
+        by_o0.setdefault(int(o0), []).append((int(o1), int(o2)))
+    win_x = -(-2 * p // 8) * 8
+
+    # DMA windows reach x0 + win_x; pad x if the rounded window overruns.
+    x_pad = (PX - 1) + win_x - Xp
+    if x_pad > 0:
+        pw = ((0, 0), (0, x_pad), (0, 0), (0, 0))
+        fx = jnp.pad(fx, pw, constant_values=np.inf)
+        fy = jnp.pad(fy, pw, constant_values=np.inf)
+        fz = jnp.pad(fz, pw, constant_values=np.inf)
+        fv = jnp.pad(fv, pw, constant_values=0.0)
+
+    h = float(compact_support_radius)
+    cs = float(cell_size)
+    sigma = 8.0 / (h * h * h) / (4.0 * math.pi)
+    dtype = fx.dtype
+
+    def kernel(fxh, fyh, fzh, fvh, out_ref, sx, sy, sz, sv, sems):
+        x0 = pl.program_id(0)
+        copies = []
+        for s in range(S):
+            for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh), (sv, fvh)):
+                dma = pltpu.make_async_copy(
+                    hbm.at[s, pl.ds(x0, win_x)], scr.at[s], sems.at[len(copies)]
+                )
+                dma.start()
+                copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        acc = jnp.zeros((PY, PZ), dtype)
+        for s in range(S):
+            for o0, o12 in by_o0.items():
+                vx = sx[s, o0]
+                vy = sy[s, o0]
+                vz = sz[s, o0]
+                vv = sv[s, o0]
+                dx0 = (o0 - p) * cs
+                for o1, o2 in o12:
+                    wx = vx[o1 : o1 + PY, o2 : o2 + PZ] + dx0
+                    wy = vy[o1 : o1 + PY, o2 : o2 + PZ] + ((o1 - p) * cs)
+                    wz = vz[o1 : o1 + PY, o2 : o2 + PZ] + ((o2 - p) * cs)
+                    wv = vv[o1 : o1 + PY, o2 : o2 + PZ]
+                    d2 = wx * wx + wy * wy + wz * wz
+                    q = jnp.sqrt(d2) * (2.0 / h)
+                    a = jnp.maximum(2.0 - q, 0.0)
+                    b = jnp.maximum(1.0 - q, 0.0)
+                    acc = acc + (a * a * a - 4.0 * (b * b * b)) * (sigma) * wv
+        out_ref[0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(PX,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, PY, PZ), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((PX, PY, PZ), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
+            pltpu.SemaphoreType.DMA((4 * S,)),
+        ],
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(fx, fy, fz, fv)
+    return out
+
+
 def _offsets(hsc: int, margin: int) -> np.ndarray:
     from splashsurf_tpu.density import gather_cell_offsets
 

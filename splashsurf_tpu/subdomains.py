@@ -137,28 +137,62 @@ def decompose(positions, sd: SubdomainGridParams, pair_capacity: int):
     local = gc - own * n_sub
 
     targets, cells, masks = [], [], []
-    for o in _OFFSETS27:
-        cond = jnp.ones((n,), bool)
-        for d in range(3):
-            if o[d] == -1:
-                cond = cond & (local[:, d] < m)
-            elif o[d] == 1:
-                cond = cond & (local[:, d] >= n_sub - m)
-        t = own + jnp.asarray(o, jnp.int32)
-        cond = cond & jnp.all((t >= 0) & (t < num_sub), axis=-1)
-        tflat = sd.subdomain_grid.flatten_cell_index(t)
-        # raster cell of this particle inside target subdomain t
-        rc = gc - t * n_sub + m  # in [0, R) when cond holds
-        rcf = (rc[:, 0] * R + rc[:, 1]) * R + rc[:, 2]
-        targets.append(jnp.where(cond, tflat, _INT32_MAX))
-        cells.append(jnp.where(cond, rcf, 0))
-        masks.append(cond)
+    if n_sub > 2 * m:
+        # 8-way expansion: a particle is in the margin of at most one side
+        # per axis, so its ghost targets are own + {0, s_d}^3 for per-axis
+        # side indicators s_d in {-1, 0, +1} — 3.4x less expansion traffic
+        # than enumerating all 27 neighbors.
+        side = [
+            jnp.where(
+                local[:, d] < m,
+                jnp.int32(-1),
+                jnp.where(local[:, d] >= n_sub - m, jnp.int32(1), jnp.int32(0)),
+            )
+            for d in range(3)
+        ]
+        for bits in range(8):
+            use = ((bits >> 2) & 1, (bits >> 1) & 1, bits & 1)
+            cond = jnp.ones((n,), bool)
+            o_cols = []
+            for d in range(3):
+                if use[d]:
+                    cond = cond & (side[d] != 0)
+                    o_cols.append(side[d])
+                else:
+                    o_cols.append(jnp.zeros((n,), jnp.int32))
+            t = own + jnp.stack(o_cols, axis=1)
+            cond = cond & jnp.all((t >= 0) & (t < num_sub), axis=-1)
+            tflat = sd.subdomain_grid.flatten_cell_index(t)
+            rc = gc - t * n_sub + m
+            rcf = (rc[:, 0] * R + rc[:, 1]) * R + rc[:, 2]
+            targets.append(jnp.where(cond, tflat, _INT32_MAX))
+            cells.append(jnp.where(cond, rcf, 0))
+            masks.append(cond)
+    else:
+        # tiny subdomains (margin spans both sides): full 27-way enumeration
+        for o in _OFFSETS27:
+            cond = jnp.ones((n,), bool)
+            for d in range(3):
+                if o[d] == -1:
+                    cond = cond & (local[:, d] < m)
+                elif o[d] == 1:
+                    cond = cond & (local[:, d] >= n_sub - m)
+            t = own + jnp.asarray(o, jnp.int32)
+            cond = cond & jnp.all((t >= 0) & (t < num_sub), axis=-1)
+            tflat = sd.subdomain_grid.flatten_cell_index(t)
+            # raster cell of this particle inside target subdomain t
+            rc = gc - t * n_sub + m  # in [0, R) when cond holds
+            rcf = (rc[:, 0] * R + rc[:, 1]) * R + rc[:, 2]
+            targets.append(jnp.where(cond, tflat, _INT32_MAX))
+            cells.append(jnp.where(cond, rcf, 0))
+            masks.append(cond)
 
-    # (27, N) stacking: N stays the minor (lane) dimension on TPU.
+    # (n_exp, N) stacking: N stays the minor (lane) dimension on TPU.
+    n_exp = len(targets)
     target_all = jnp.stack(targets, axis=0).reshape(-1)
     cell_all = jnp.stack(cells, axis=0).reshape(-1)
     mask_all = jnp.stack(masks, axis=0).reshape(-1)
-    pid_all = jnp.tile(jnp.arange(n, dtype=jnp.int32), 27)
+    pid_all = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_exp)
 
     dest = jnp.where(mask_all, jnp.cumsum(mask_all) - 1, pair_capacity)
     tgt_c = jnp.full((pair_capacity,), _INT32_MAX, jnp.int32).at[dest].set(
@@ -543,17 +577,18 @@ def chunk_mc(
         masks.append((inside[sl0] != inside[sl1]).reshape(C, -1))
     # Row-major flat layout: edge_flat = c * E_local + local_edge_flat.
     mask = jnp.concatenate(masks, axis=1).reshape(-1)
-    vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    total_v = (vidx[-1] + 1).astype(jnp.int32)
-    vdest = jnp.where(mask, vidx, pack_vertex_capacity)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    vidx = csum - 1
+    total_v = csum[-1]
     n_edges = mask.shape[0]
-    active_edge = (
-        jnp.zeros((pack_vertex_capacity,), jnp.int32)
-        .at[vdest]
-        .set(
-            jnp.arange(n_edges, dtype=jnp.int32), mode="drop", unique_indices=True
-        )
-    )
+    # binary search over the sorted cumsum instead of a full-source scatter
+    active_edge = jnp.clip(
+        jnp.searchsorted(
+            csum, jnp.arange(1, pack_vertex_capacity + 1, dtype=jnp.int32)
+        ),
+        0,
+        n_edges - 1,
+    ).astype(jnp.int32)
 
     # --- phase 2: vertex data on the active set ---------------------------
     shapes, strides, axoffs, e_local = mc_dense.edge_layout((P, P, P))
@@ -592,26 +627,21 @@ def chunk_mc(
         case = case | (corner.astype(jnp.int32) << c8)
     case_flat = case.reshape(-1)  # (C * cells,)
     counts = jnp.asarray(mc.TRI_COUNT, jnp.int32)[case_flat]
-    offsets = jnp.cumsum(counts) - counts
-    total_t = (offsets[-1] + counts[-1]).astype(jnp.int32)
+    ccum = jnp.cumsum(counts)
+    offsets = ccum - counts
+    total_t = ccum[-1]
 
-    # Compact active cells: every active cell emits >= 1 triangle, so the
-    # triangle offset itself indexes a compact active-cell table (bounded by
-    # the triangle capacity).
+    # slot t's emitting cell = binary search over the count cumsum
     n_cells_flat = case_flat.shape[0]
-    cdest = jnp.where(counts > 0, offsets, pack_triangle_capacity)
-    active_cell = (
-        jnp.zeros((pack_triangle_capacity,), jnp.int32)
-        .at[cdest]
-        .set(
-            jnp.arange(n_cells_flat, dtype=jnp.int32),
-            mode="drop",
-            unique_indices=True,
-        )
-    )
-    # Forward-fill: slot k of cell with offset o lands at o + k; positions
-    # between offsets belong to the previous active cell.
-    active_cell = jax.lax.associative_scan(jnp.maximum, active_cell)
+    active_cell = jnp.clip(
+        jnp.searchsorted(
+            ccum,
+            jnp.arange(pack_triangle_capacity, dtype=jnp.int32),
+            side="right",
+        ),
+        0,
+        n_cells_flat - 1,
+    ).astype(jnp.int32)
     acase = case_flat[active_cell]
     acounts = counts[active_cell]
     aoffsets = offsets[active_cell]

@@ -235,6 +235,46 @@ class TestPipelineExtras:
         _pts, pdata, _c, _o, _t = _read_legacy(out)
         assert "velocity" in pdata and pdata["velocity"].shape[1] == 3
 
+    def test_attribute_through_mesh_cleanup(self, bunny):
+        # point attributes must land on the FINAL (cleaned-up) mesh vertices
+        attrs = {"height": np.ascontiguousarray(bunny[:, 1]).astype(np.float32)}
+        res = reconstruction_pipeline(
+            bunny, _params(),
+            PostprocessingParameters(
+                mesh_cleanup=True, interpolate_attributes=["height"]
+            ),
+            attributes=attrs,
+        )
+        mesh = res.tri_mesh.mesh
+        by_name = {a.name: a for a in res.tri_mesh.point_attributes}
+        assert by_name["height"].data.shape[0] == mesh.num_vertices
+        # interpolated heights track vertex y within the kernel radius
+        err = np.abs(np.asarray(by_name["height"].data) - mesh.vertices[:, 1])
+        assert np.median(err) < 0.1
+
+    def test_meshwithdata_attribute_remap(self):
+        from splashsurf_tpu.mesh import MeshAttribute, MeshWithData, TriMesh3d
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [2, 0, 0]], np.float32
+        )
+        tris = np.array([[0, 1, 2], [1, 3, 2], [1, 4, 3]], np.int32)
+        md = MeshWithData(
+            mesh=TriMesh3d(verts, tris),
+            point_attributes=[MeshAttribute("vid", np.arange(5.0))],
+            cell_attributes=[MeshAttribute("cid", np.arange(3.0))],
+        )
+        kept = md.keep_cells(np.array([0, 2]))
+        assert kept.mesh.num_triangles == 2
+        np.testing.assert_array_equal(kept.cell_attributes[0].data, [0.0, 2.0])
+        # all 5 vertices are referenced by cells 0 and 2
+        np.testing.assert_array_equal(kept.point_attributes[0].data, np.arange(5.0))
+
+        kv = md.keep_vertices(np.array([True, True, True, True, False]))
+        assert kv.mesh.num_triangles == 2  # cell 2 lost vertex 4
+        np.testing.assert_array_equal(kv.cell_attributes[0].data, [0.0, 1.0])
+        np.testing.assert_array_equal(kv.point_attributes[0].data, np.arange(4.0))
+
     def test_mesh_convert_roundtrip(self, tmp_path):
         # icosphere OBJ -> PLY -> VTK through the convert subcommand
         p1 = str(tmp_path / "ico.ply")
