@@ -40,24 +40,35 @@ def reconstruct_surface_global(
     from splashsurf_tpu.uniform_grid import kernel_extents
 
     positions = jnp.asarray(positions)
-
-    # 1. per-particle densities (self-contribution included)
-    with profile("compute particle densities"):
-        rho = compute_densities(positions, parameters)
-
-    # 2.+3. raster splat sweep + packed marching cubes on the dense grid
-    values = jnp.asarray(parameters.particle_rest_mass, rho.dtype) / rho
     hsc = kernel_extents(
         parameters.compact_support_radius, grid.cell_size
     ).half_supported_cells
-    verts, tris = reconstruct_global_dense(
-        positions,
-        values,
-        grid,
-        parameters.compact_support_radius,
-        hsc,
-        parameters.iso_surface_threshold,
-    )
+
+    # Densities run under a speculative frame plan (previous frame's bin
+    # lattice + capacities); its validity flag is pulled together with the
+    # final mesh totals, and a miss recomputes the frame from scratch.
+    for _attempt in range(2):
+        with profile("compute particle densities"):
+            rho, check = neighbors.compute_particle_densities(
+                positions,
+                parameters.compact_support_radius,
+                parameters.particle_rest_mass,
+                speculate=True,
+            )
+        values = jnp.asarray(parameters.particle_rest_mass, rho.dtype) / rho
+        try:
+            verts, tris = reconstruct_global_dense(
+                positions,
+                values,
+                grid,
+                parameters.compact_support_radius,
+                hsc,
+                parameters.iso_surface_threshold,
+                deferred_checks=() if check is None else (check,),
+            )
+            break
+        except neighbors.DensityPlanMiss:
+            neighbors.clear_density_plan()
     mesh = TriMesh3d(vertices=verts, triangles=tris)
 
     particle_neighbors = None

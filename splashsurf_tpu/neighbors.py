@@ -620,14 +620,92 @@ def compute_particle_densities_raster(
     return jnp.asarray(particle_rest_mass, dtype) * rho
 
 
+# Speculative per-frame plan: an animation sequence reuses the previous
+# frame's bin lattice and capacities, turning the two mid-frame host round
+# trips (AABB pull, occupancy-stats pull) into one deferred validity flag
+# pulled with the final mesh. The reference's workspace reuse
+# (workspace.rs:12-79) is the moral analog.
+_DENSITY_PLAN: dict = {}
+
+
+class DensityPlanMiss(RuntimeError):
+    """A speculative density plan was violated; clear and recompute."""
+
+
+def clear_density_plan():
+    _DENSITY_PLAN.clear()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "kind", "slots", "u_cap", "ocap"),
+)
+def _plan_check(positions, sb, grid: BinGrid, kind: str, slots: int, u_cap: int, ocap: int):
+    """Device-side validity of a speculative plan: positions inside the
+    lattice (no bin clipping) and capacities still sufficient."""
+    p = jnp.asarray(positions)
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    gmin = jnp.asarray(grid.min, p.dtype)
+    gmax = gmin + jnp.asarray(grid.dims, p.dtype) * jnp.asarray(
+        grid.bin_size, p.dtype
+    )
+    ok = jnp.all(lo >= gmin) & jnp.all(hi < gmax)
+    mx, u, o8 = _bin_stats_device(sb)
+    ok = ok & (u <= u_cap)
+    if kind in ("raster", "binned8"):
+        ok = ok & ((mx <= slots) | ((ocap > 0) & (o8 <= ocap)))
+    else:  # binned with K = slots >= max occupancy
+        ok = ok & (mx <= slots)
+    return ok
+
+
 def compute_particle_densities(
     positions,
     compact_support_radius: float,
     particle_rest_mass: float,
     capacity: int | None = None,
+    speculate: bool = False,
 ):
-    """Convenience wrapper: builds the binning and picks capacities on host."""
+    """Convenience wrapper: builds the binning and picks capacities on host.
+
+    With ``speculate=True``, returns ``(rho, check)`` where ``check`` is a
+    device boolean (or None on the planning frame) that the caller must
+    verify before trusting ``rho`` — raise-and-retry via
+    :func:`clear_density_plan` on False.
+    """
     positions = jnp.asarray(positions)
+    key = (
+        positions.shape[0],
+        str(positions.dtype),
+        float(compact_support_radius),
+        None if capacity is None else int(capacity),
+    )
+    plan = _DENSITY_PLAN.get(key) if speculate else None
+    if plan is not None:
+        grid = plan["grid"]
+        cl = build_cell_list(positions, grid)
+        check = _plan_check(
+            positions, cl.sorted_bins, grid,
+            kind=plan["kind"], slots=plan["slots"],
+            u_cap=plan["u_cap"], ocap=plan["ocap"],
+        )
+        if plan["kind"] == "raster":
+            rho = compute_particle_densities_raster(
+                positions, grid, cl, compact_support_radius,
+                particle_rest_mass, slots=plan["slots"],
+                overflow_capacity=plan["ocap"],
+                candidate_capacity=plan["ccap"],
+            )
+        else:
+            rho = compute_particle_densities_binned(
+                positions, grid, cl, compact_support_radius,
+                particle_rest_mass, plan["slots"], plan["u_cap"],
+                overflow_capacity=plan["ocap"],
+                candidate_capacity=plan["ccap"],
+            )
+        return rho, check
+
     mn, mx = jax.device_get(
         (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
     )
@@ -650,9 +728,10 @@ def compute_particle_densities(
         and (max_occ <= 8 or over8 <= over_budget)
     ):
         if max_occ > 8:
-            overflow_capacity = _round_up(max(over8, 256), 1024)
-            candidate_capacity = _round_up(max_occ)
-        return compute_particle_densities_raster(
+            # headroom so frame-to-frame occupancy drift keeps the plan valid
+            overflow_capacity = _round_up(max(2 * over8, 1024), 1024)
+            candidate_capacity = _round_up(max_occ + 8)
+        rho = compute_particle_densities_raster(
             positions,
             grid,
             cl,
@@ -662,22 +741,32 @@ def compute_particle_densities(
             overflow_capacity=overflow_capacity,
             candidate_capacity=candidate_capacity,
         )
+        if speculate:
+            _DENSITY_PLAN[key] = dict(
+                grid=grid, kind="raster", slots=8, u_cap=u_cap,
+                ocap=overflow_capacity, ccap=candidate_capacity,
+            )
+            return rho, None
+        return rho
 
+    kind = "binned"
     if capacity is None:
         if max_occ <= 8:
             capacity = 8
+            kind = "binned8"
         elif over8 <= over_budget:
             # K=8 fast path: the few rank>=8 particles go through the exact
             # overflow correction instead of padding every pair block
             capacity = 8
-            overflow_capacity = _round_up(max(over8, 256), 1024)
-            candidate_capacity = _round_up(max_occ)
+            kind = "binned8"
+            overflow_capacity = _round_up(max(2 * over8, 1024), 1024)
+            candidate_capacity = _round_up(max_occ + 8)
         else:
             capacity = _round_up(max_occ)
     elif capacity < max_occ:
         # an insufficient explicit capacity would silently truncate sums
         capacity = _round_up(max_occ)
-    return compute_particle_densities_binned(
+    rho = compute_particle_densities_binned(
         positions,
         grid,
         cl,
@@ -688,6 +777,13 @@ def compute_particle_densities(
         overflow_capacity=overflow_capacity,
         candidate_capacity=candidate_capacity,
     )
+    if speculate:
+        _DENSITY_PLAN[key] = dict(
+            grid=grid, kind=kind, slots=capacity, u_cap=u_cap,
+            ocap=overflow_capacity, ccap=candidate_capacity,
+        )
+        return rho, None
+    return rho
 
 
 def _round_up(n: int, m: int = 8) -> int:

@@ -577,18 +577,17 @@ def chunk_mc(
         masks.append((inside[sl0] != inside[sl1]).reshape(C, -1))
     # Row-major flat layout: edge_flat = c * E_local + local_edge_flat.
     mask = jnp.concatenate(masks, axis=1).reshape(-1)
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    vidx = csum - 1
-    total_v = csum[-1]
+    vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total_v = (vidx[-1] + 1).astype(jnp.int32)
     n_edges = mask.shape[0]
-    # binary search over the sorted cumsum instead of a full-source scatter
-    active_edge = jnp.clip(
-        jnp.searchsorted(
-            csum, jnp.arange(1, pack_vertex_capacity + 1, dtype=jnp.int32)
-        ),
-        0,
-        n_edges - 1,
-    ).astype(jnp.int32)
+    vdest = jnp.where(mask, vidx, pack_vertex_capacity)
+    active_edge = (
+        jnp.zeros((pack_vertex_capacity,), jnp.int32)
+        .at[vdest]
+        .set(
+            jnp.arange(n_edges, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+    )
 
     # --- phase 2: vertex data on the active set ---------------------------
     shapes, strides, axoffs, e_local = mc_dense.edge_layout((P, P, P))
@@ -631,17 +630,20 @@ def chunk_mc(
     offsets = ccum - counts
     total_t = ccum[-1]
 
-    # slot t's emitting cell = binary search over the count cumsum
+    # Compact active cells (offset scatter + forward-fill; see the
+    # global-path note on why this beats a cumsum binary search here).
     n_cells_flat = case_flat.shape[0]
-    active_cell = jnp.clip(
-        jnp.searchsorted(
-            ccum,
-            jnp.arange(pack_triangle_capacity, dtype=jnp.int32),
-            side="right",
-        ),
-        0,
-        n_cells_flat - 1,
-    ).astype(jnp.int32)
+    cdest = jnp.where(counts > 0, offsets, pack_triangle_capacity)
+    active_cell = (
+        jnp.zeros((pack_triangle_capacity,), jnp.int32)
+        .at[cdest]
+        .set(
+            jnp.arange(n_cells_flat, dtype=jnp.int32),
+            mode="drop",
+            unique_indices=True,
+        )
+    )
+    active_cell = jax.lax.associative_scan(jnp.maximum, active_cell)
     acase = case_flat[active_cell]
     acounts = counts[active_cell]
     aoffsets = offsets[active_cell]
