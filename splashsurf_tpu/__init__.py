@@ -64,6 +64,10 @@ def __getattr__(name):
         from splashsurf_tpu.postprocess import marching_cubes_cleanup
 
         return marching_cubes_cleanup
+    if name in ("marching_cubes_cleanup_with_data", "decimation_with_data"):
+        from splashsurf_tpu import postprocess as _pp
+
+        return getattr(_pp, name)
     if name == "convert_tris_to_quads":
         from splashsurf_tpu.postprocess import convert_tris_to_quads
 
@@ -129,6 +133,8 @@ __all__ = [
     "PostprocessingParameters",
     "marching_cubes",
     "marching_cubes_cleanup",
+    "marching_cubes_cleanup_with_data",
+    "decimation_with_data",
     "convert_tris_to_quads",
     "barnacle_decimation",
     "laplacian_smoothing_parallel",

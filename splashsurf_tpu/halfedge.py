@@ -115,29 +115,35 @@ class HalfEdgeTriMesh:
 
     # -- conversion ---------------------------------------------------------
 
-    def into_parts(self, keep_vertices: bool = False):
-        """Return (TriMesh3d, vertex_map).
+    def into_parts(self, keep_vertices: bool = False, return_tri_map: bool = False):
+        """Return (TriMesh3d, vertex_map[, tri_map]).
 
         ``vertex_map[i]`` lists the original vertex indices merged into the
         i-th output vertex (for attribute remapping). With ``keep_vertices``
-        the vertex array is left unchanged (invalid vertices stay).
+        the vertex array is left unchanged (invalid vertices stay). With
+        ``return_tri_map``, also return the original triangle index of each
+        surviving output triangle (for cell-attribute remapping).
         """
         from splashsurf_tpu.mesh import TriMesh3d
 
         tris = self.triangles[self.tri_valid]
+        tri_map = np.nonzero(self.tri_valid)[0]
         if keep_vertices:
             mesh = TriMesh3d(
                 vertices=self.vertices.astype(np.float32),
                 triangles=tris.astype(np.int32),
             )
-            return mesh, [list(m) for m in self.merged_from]
-        used = np.zeros(len(self.vertices), dtype=bool)
-        if len(tris):
-            used[tris.ravel()] = True
-        new_index = np.cumsum(used) - 1
-        mesh = TriMesh3d(
-            vertices=self.vertices[used].astype(np.float32),
-            triangles=new_index[tris].astype(np.int32),
-        )
-        vertex_map = [list(self.merged_from[v]) for v in np.nonzero(used)[0]]
+            vertex_map = [list(m) for m in self.merged_from]
+        else:
+            used = np.zeros(len(self.vertices), dtype=bool)
+            if len(tris):
+                used[tris.ravel()] = True
+            new_index = np.cumsum(used) - 1
+            mesh = TriMesh3d(
+                vertices=self.vertices[used].astype(np.float32),
+                triangles=new_index[tris].astype(np.int32),
+            )
+            vertex_map = [list(self.merged_from[v]) for v in np.nonzero(used)[0]]
+        if return_tri_map:
+            return mesh, vertex_map, tri_map
         return mesh, vertex_map

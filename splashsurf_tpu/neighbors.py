@@ -60,11 +60,17 @@ class BinGrid:
 
 
 class CellList(NamedTuple):
-    """Particles sorted by bin: the entire acceleration structure."""
+    """Particles sorted by bin: the entire acceleration structure.
+
+    ``sorted_positions`` is a tuple of three (N,) component arrays, NOT an
+    (N, 3) array: TPU tiling pads a minor dim of 3 to 128 lanes, so row
+    gathers from (N, 3) read 512 B per particle (measured ~60 ms at 2M vs
+    ~0 for flat per-component gathers).
+    """
 
     order: jax.Array  # (N,) int32: original particle index, bin-sorted
     sorted_bins: jax.Array  # (N,) int32: flat bin id per sorted slot
-    sorted_positions: jax.Array  # (N, 3): positions gathered in sorted order
+    sorted_positions: Tuple[jax.Array, jax.Array, jax.Array]  # 3 x (N,)
     bin_of_particle: jax.Array  # (N,) int32: flat bin id per original index
 
 
@@ -77,13 +83,25 @@ _STENCIL = np.array(
 @functools.partial(jax.jit, static_argnames=("grid",))
 def build_cell_list(positions, grid: BinGrid) -> CellList:
     positions = jnp.asarray(positions)
-    bins = grid.flatten(grid.bin_ijk(positions))
+    # per-component flat math: ops on a big (N, 3) pad the minor dim to 128
+    # TPU lanes, so each component is pulled out once up front
+    cols = [positions[:, d] for d in range(3)]
+    bs = jnp.asarray(grid.bin_size, positions.dtype)
+    dims = grid.dims
+    strides = (dims[1] * dims[2], dims[2], 1)
+    bins = jnp.zeros(positions.shape[:1], jnp.int32)
+    for d in range(3):
+        mn = jnp.asarray(grid.min[d], positions.dtype)
+        c = jnp.clip(
+            jnp.floor((cols[d] - mn) / bs).astype(jnp.int32), 0, dims[d] - 1
+        )
+        bins = bins + c * strides[d]
     order = jnp.argsort(bins).astype(jnp.int32)
     sorted_bins = bins[order]
     return CellList(
         order=order,
         sorted_bins=sorted_bins,
-        sorted_positions=positions[order],
+        sorted_positions=tuple(cols[d][order] for d in range(3)),
         bin_of_particle=bins,
     )
 
@@ -128,13 +146,36 @@ def _stencil_segments(grid: BinGrid, cell_list: CellList, query_bin_ijk):
 
     query_bin_ijk: (M, 3) int32. Returns starts (M, 27) int32 into the
     sorted particle order and counts (M, 27).
+
+    When the bin lattice is materializable (<= 2^24 bins) the lookup is two
+    O(1) gathers from dense start/count tables built with one scatter each;
+    ``searchsorted`` over the sorted bins (the fallback for huge lattices)
+    lowers to ~21 serial gather rounds on TPU and is latency-bound.
     """
     dims = jnp.asarray(grid.dims, jnp.int32)
     nb = query_bin_ijk[:, None, :] + jnp.asarray(_STENCIL)[None, :, :]  # (M,27,3)
     valid = jnp.all((nb >= 0) & (nb < dims), axis=-1)  # (M,27)
     nb_flat = grid.flatten(jnp.clip(nb, 0, dims - 1))  # (M,27)
-    starts = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="left")
-    ends = jnp.searchsorted(cell_list.sorted_bins, nb_flat, side="right")
+    sb = cell_list.sorted_bins
+    n = sb.shape[0]
+    lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    if lattice <= (1 << 24):
+        is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+        starts_table = (
+            jnp.zeros((lattice,), jnp.int32)
+            .at[jnp.where(is_start, sb, lattice)]
+            .set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+            )
+        )
+        counts_table = jnp.zeros((lattice,), jnp.int32).at[sb].add(
+            1, mode="drop"
+        )
+        starts = starts_table[nb_flat]
+        counts = jnp.where(valid, counts_table[nb_flat], 0)
+        return starts, counts
+    starts = jnp.searchsorted(sb, nb_flat, side="left")
+    ends = jnp.searchsorted(sb, nb_flat, side="right")
     counts = jnp.where(valid, (ends - starts).astype(jnp.int32), 0)
     return starts.astype(jnp.int32), counts
 
@@ -369,7 +410,7 @@ def compute_particle_densities_binned(
         tables.append(
             jnp.full((u_cap * K,), jnp.inf, dtype)
             .at[dest]
-            .set(cell_list.sorted_positions[:, d], mode="drop", unique_indices=True)
+            .set(cell_list.sorted_positions[d], mode="drop", unique_indices=True)
             .reshape(u_cap, K)
         )
 
@@ -451,43 +492,86 @@ def _overflow_correction(
     Overflow particles are absent from the dense tables: their own density
     is recomputed from full candidate gathers (incl. the self-term), and
     their symmetric contribution is scatter-added into table particles.
+
+    Compaction works per overflow *bin* (sources = lattice/segment domain),
+    never per particle: a full-N scatter costs ~12 ms at 2M on TPU, and the
+    particle-mask formulation needed seven of them for <0.1% of particles.
     """
     p = jnp.asarray(positions)
     dtype = p.dtype
     n = p.shape[0]
-    over = slot >= K  # (N,) sorted order
-    odest = jnp.where(over, jnp.cumsum(over) - 1, OC)
-    opos = [
-        jnp.full((OC,), jnp.inf, dtype)
-        .at[odest]
-        .set(cell_list.sorted_positions[:, d], mode="drop", unique_indices=True)
-        for d in range(3)
-    ]
-    oidx = (
-        jnp.full((OC,), n, jnp.int32)
-        .at[odest]
-        .set(cell_list.order, mode="drop", unique_indices=True)
+    sb = cell_list.sorted_bins
+    lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    CAP = candidate_capacity
+
+    # dense per-bin segment tables (shared with the stencil lookup via CSE)
+    is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    starts_table = (
+        jnp.zeros((lattice,), jnp.int32)
+        .at[jnp.where(is_start, sb, lattice)]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
     )
-    # candidate gathers over the full particle set (tables + overflow)
+    counts_table = jnp.zeros((lattice,), jnp.int32).at[sb].add(1, mode="drop")
+
+    # compact overflow BINS (count > K); each holds <= CAP - K overflow slots
+    over_bin = counts_table > K
+    obin_dest = jnp.where(over_bin, jnp.cumsum(over_bin) - 1, OC)
+    lat_ids = jnp.arange(lattice, dtype=jnp.int32)
+    obin = (
+        jnp.full((OC,), lattice, jnp.int32)
+        .at[obin_dest]
+        .set(lat_ids, mode="drop", unique_indices=True)
+    )
+    ob_valid = obin < lattice
+    obin_c = jnp.where(ob_valid, obin, 0)
+    base = starts_table[obin_c]  # (OC,)
+    cnt = jnp.where(ob_valid, counts_table[obin_c], 0)
+
+    # overflow slots: sorted indices base + r for r in [K, min(cnt, CAP));
+    # then a second-level compaction over the small (OC, R) grid down to
+    # (OC,) actual overflow particles (sources = OC*R, not N)
+    R = CAP - K
+    rr = jnp.arange(K, CAP, dtype=jnp.int32)[None, :]  # (1, R)
+    sidx = base[:, None] + rr  # (OC, R) sorted-order indices
+    pvalid = (ob_valid[:, None] & (rr < cnt[:, None])).reshape(-1)
+    pdest = jnp.where(pvalid, jnp.cumsum(pvalid) - 1, OC)
+    osid = (
+        jnp.full((OC,), n, jnp.int32)
+        .at[pdest]
+        .set(sidx.reshape(-1), mode="drop", unique_indices=True)
+    )
+    ovalid = osid < n
+    osid_c = jnp.where(ovalid, osid, 0)
+    opos = [
+        jnp.where(ovalid, cell_list.sorted_positions[d][osid_c], jnp.inf)
+        for d in range(3)
+    ]  # 3 x (OC,)
+    oidx = jnp.where(ovalid, cell_list.order[osid_c], n)  # (OC,)
+
+    # candidate gathers over the full particle set (tables + overflow);
+    # empty query slots carry +inf positions — clamp their query point to
+    # the grid corner so index math stays in range (mask is False anyway)
     opos3 = jnp.stack(opos, axis=-1)  # (OC, 3) — small, layout is fine
-    idx, cmask = gather_candidates(opos3, grid, cell_list, candidate_capacity)
-    cpos = [p[:, d][idx] for d in range(3)]  # 3 x (OC, 27*cap)
+    qpos3 = jnp.where(jnp.isfinite(opos3), opos3, jnp.asarray(grid.min, dtype))
+    idx, cmask = gather_candidates(qpos3, grid, cell_list, CAP)
+    cmask = cmask & ovalid[:, None]
+    pcols = [p[:, d] for d in range(3)]  # flat columns once, then flat gathers
     d2o = jnp.zeros(idx.shape, dtype)
     for d in range(3):
-        diff = cpos[d] - opos[d][:, None]
+        diff = pcols[d][idx] - opos[d][:, None]
         diff = jnp.where(jnp.isfinite(diff), diff, jnp.inf)
         d2o = d2o + diff * diff
     wo = jnp.where(cmask, kernels.cubic_kernel(jnp.sqrt(d2o), h), 0.0)
     # own density: every candidate within support, incl. the self-term
     rho_over = jnp.sum(wo, axis=1)
     # symmetric contribution into table particles only (overflow-vs-
-    # overflow pairs are already counted in both rows' own sums)
-    rank_of = (
-        jnp.zeros((n,), jnp.int32)
-        .at[cell_list.order]
-        .set(slot, mode="drop", unique_indices=True)
-    )
-    to_table = cmask & (rank_of[idx] < K)
+    # overflow pairs are already counted in both rows' own sums); a
+    # candidate's within-bin rank IS its stencil slot index — no
+    # per-particle rank scatter needed
+    slot_within = jnp.tile(
+        jnp.arange(CAP, dtype=jnp.int32), 27
+    )[None, :]  # (1, 27*CAP)
+    to_table = cmask & (slot_within < K)
     rho = rho.at[idx.reshape(-1)].add(
         jnp.where(to_table, wo, 0.0).reshape(-1), mode="drop"
     )
@@ -497,7 +581,9 @@ def _overflow_correction(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "slots", "overflow_capacity", "candidate_capacity"),
+    static_argnames=(
+        "grid", "slots", "overflow_capacity", "candidate_capacity", "backend"
+    ),
 )
 def compute_particle_densities_raster(
     positions,
@@ -508,6 +594,7 @@ def compute_particle_densities_raster(
     slots: int = 8,
     overflow_capacity: int = 0,
     candidate_capacity: int = 0,
+    backend: str | None = None,
 ):
     """SPH densities via a dense bin-raster sweep (no gathers in the hot loop).
 
@@ -557,7 +644,7 @@ def compute_particle_densities_raster(
     bcoord = [bx, by, bz]
     rasters = []
     for d in range(3):
-        frac = cell_list.sorted_positions[:, d] - (
+        frac = cell_list.sorted_positions[d] - (
             mn[d] + bcoord[d].astype(dtype) * bs
         )
         rasters.append(
@@ -574,38 +661,76 @@ def compute_particle_densities_raster(
     # lattice shapes). Lane overrun past each row's LZ reads pad values
     # (inf -> W = 0), never out of range (Zp + 1 + W <= Yp*Zp).
     W = LY * Zp
-    # +2 tail lanes: the widest window (shift 2*Zp+2, width W) ends exactly
-    # 2 lanes past Yp*Zp
-    flat = [
-        jnp.pad(
-            r.reshape(slots, Xp, Yp * Zp),
-            ((0, 0), (0, 0), (0, 2)),
-            constant_values=jnp.inf,
+    if backend is None:
+        # The Pallas sweep is only ~10% faster end-to-end but costs Mosaic
+        # minutes of compile per new lattice shape over the remote tunnel;
+        # the XLA formulation compiles in seconds. Opt in explicitly.
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SPLASHSURF_TPU_DENSITY_PALLAS", "0") == "1"
         )
-        for r in rasters
-    ]
-    fq = [r[:, 1 : 1 + LX, Zp + 1 : Zp + 1 + W] for r in flat]
-    acc = jnp.zeros((slots, LX, W), dtype)
-    for o0 in (0, 1, 2):
-        for o1 in (0, 1, 2):
-            for o2 in (0, 1, 2):
-                shift = o1 * Zp + o2
-                d2 = jnp.zeros((slots, slots, LX, W), dtype)
-                for d, od in enumerate((o0, o1, o2)):
-                    win = flat[d][:, o0 : o0 + LX, shift : shift + W]
-                    # empty slots: inf fracs -> d2 = inf -> W = 0 exactly;
-                    # NaNs (inf - inf) only reach empty *query* slots, which
-                    # the readback never touches.
-                    diff = fq[d][:, None] - (
-                        win[None, :] + jnp.asarray(od - 1, dtype) * bs
-                    )
-                    d2 = d2 + diff * diff
-                w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-                acc = acc + jnp.sum(w, axis=1)
+        backend = "pallas" if use_pallas else "xla"
+    if backend.startswith("pallas") and dtype == jnp.float32:
+        # Pallas plane sweep: lane width rounded to the 128-lane tiling;
+        # all intermediates stay in VMEM (the XLA loop below round-trips
+        # (slots^2, LX, W) blocks through HBM)
+        from splashsurf_tpu.ops.splat_pallas import density_sweep_pallas
+
+        Wout = -(-W // 128) * 128
+        LANES = -(-(2 * Zp + 2 + Wout) // 128) * 128
+        flat = [
+            jnp.pad(
+                r.reshape(slots, Xp, Yp * Zp),
+                ((0, 0), (0, 0), (0, LANES - Yp * Zp)),
+                constant_values=jnp.inf,
+            )
+            for r in rasters
+        ]
+        acc_p = density_sweep_pallas(
+            flat[0], flat[1], flat[2],
+            bin_size=bs,
+            compact_support_radius=h,
+            slots=slots, LX=LX, Zp=Zp, Wout=Wout,
+            interpret=(backend == "pallas_interpret"),
+        )
+        sigma = 8.0 / (h * h * h)
+        acc_flat = (acc_p[:, :LX, :] * sigma).reshape(-1)
+        src = jnp.where(ok, (slot * LX + bx) * Wout + by * Zp + bz, 0)
+    else:
+        # +2 tail lanes: the widest window (shift 2*Zp+2, width W) ends
+        # exactly 2 lanes past Yp*Zp
+        flat = [
+            jnp.pad(
+                r.reshape(slots, Xp, Yp * Zp),
+                ((0, 0), (0, 0), (0, 2)),
+                constant_values=jnp.inf,
+            )
+            for r in rasters
+        ]
+        fq = [r[:, 1 : 1 + LX, Zp + 1 : Zp + 1 + W] for r in flat]
+        acc = jnp.zeros((slots, LX, W), dtype)
+        for o0 in (0, 1, 2):
+            for o1 in (0, 1, 2):
+                for o2 in (0, 1, 2):
+                    shift = o1 * Zp + o2
+                    d2 = jnp.zeros((slots, slots, LX, W), dtype)
+                    for d, od in enumerate((o0, o1, o2)):
+                        win = flat[d][:, o0 : o0 + LX, shift : shift + W]
+                        # empty slots: inf fracs -> d2 = inf -> W = 0
+                        # exactly; NaNs (inf - inf) only reach empty *query*
+                        # slots, which the readback never touches.
+                        diff = fq[d][:, None] - (
+                            win[None, :] + jnp.asarray(od - 1, dtype) * bs
+                        )
+                        d2 = d2 + diff * diff
+                    w = kernels.cubic_kernel(jnp.sqrt(d2), h)
+                    acc = acc + jnp.sum(w, axis=1)
+        acc_flat = acc.reshape(-1)
+        src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
 
     # read back per particle, undo the sort
-    acc_flat = acc.reshape(-1)
-    src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
     rho_sorted = jnp.where(ok, acc_flat[src], 0.0)
     rho = (
         jnp.zeros((n,), dtype)
@@ -638,9 +763,12 @@ def clear_density_plan():
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "kind", "slots", "u_cap", "ocap"),
+    static_argnames=("grid", "kind", "slots", "u_cap", "ocap", "ccap"),
 )
-def _plan_check(positions, sb, grid: BinGrid, kind: str, slots: int, u_cap: int, ocap: int):
+def _plan_check(
+    positions, sb, grid: BinGrid, kind: str, slots: int, u_cap: int,
+    ocap: int, ccap: int = 0,
+):
     """Device-side validity of a speculative plan: positions inside the
     lattice (no bin clipping) and capacities still sufficient."""
     p = jnp.asarray(positions)
@@ -654,10 +782,52 @@ def _plan_check(positions, sb, grid: BinGrid, kind: str, slots: int, u_cap: int,
     mx, u, o8 = _bin_stats_device(sb)
     ok = ok & (u <= u_cap)
     if kind in ("raster", "binned8"):
-        ok = ok & ((mx <= slots) | ((ocap > 0) & (o8 <= ocap)))
+        # the overflow path truncates candidates/bin at ccap — drifting
+        # past either capacity must miss the plan, not corrupt sums
+        ok = ok & (
+            (mx <= slots)
+            | ((ocap > 0) & (o8 <= ocap) & (mx <= max(ccap, slots)))
+        )
     else:  # binned with K = slots >= max occupancy
         ok = ok & (mx <= slots)
     return ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "kind", "slots", "u_cap", "ocap", "ccap"),
+)
+def _densities_planned(
+    positions,
+    compact_support_radius,
+    particle_rest_mass,
+    grid: BinGrid,
+    kind: str,
+    slots: int,
+    u_cap: int,
+    ocap: int,
+    ccap: int,
+):
+    """Speculative-hit density frame in ONE dispatch: cell list + plan
+    validity + densities, sharing the sort and segment passes."""
+    cl = build_cell_list(positions, grid)
+    check = _plan_check(
+        positions, cl.sorted_bins, grid,
+        kind=kind, slots=slots, u_cap=u_cap, ocap=ocap, ccap=ccap,
+    )
+    if kind == "raster":
+        rho = compute_particle_densities_raster(
+            positions, grid, cl, compact_support_radius,
+            particle_rest_mass, slots=slots,
+            overflow_capacity=ocap, candidate_capacity=ccap,
+        )
+    else:
+        rho = compute_particle_densities_binned(
+            positions, grid, cl, compact_support_radius,
+            particle_rest_mass, slots, u_cap,
+            overflow_capacity=ocap, candidate_capacity=ccap,
+        )
+    return rho, check
 
 
 def compute_particle_densities(
@@ -683,28 +853,11 @@ def compute_particle_densities(
     )
     plan = _DENSITY_PLAN.get(key) if speculate else None
     if plan is not None:
-        grid = plan["grid"]
-        cl = build_cell_list(positions, grid)
-        check = _plan_check(
-            positions, cl.sorted_bins, grid,
-            kind=plan["kind"], slots=plan["slots"],
-            u_cap=plan["u_cap"], ocap=plan["ocap"],
+        return _densities_planned(
+            positions, compact_support_radius, particle_rest_mass,
+            plan["grid"], kind=plan["kind"], slots=plan["slots"],
+            u_cap=plan["u_cap"], ocap=plan["ocap"], ccap=plan["ccap"],
         )
-        if plan["kind"] == "raster":
-            rho = compute_particle_densities_raster(
-                positions, grid, cl, compact_support_radius,
-                particle_rest_mass, slots=plan["slots"],
-                overflow_capacity=plan["ocap"],
-                candidate_capacity=plan["ccap"],
-            )
-        else:
-            rho = compute_particle_densities_binned(
-                positions, grid, cl, compact_support_radius,
-                particle_rest_mass, plan["slots"], plan["u_cap"],
-                overflow_capacity=plan["ocap"],
-                candidate_capacity=plan["ccap"],
-            )
-        return rho, check
 
     mn, mx = jax.device_get(
         (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
@@ -754,9 +907,10 @@ def compute_particle_densities(
         if max_occ <= 8:
             capacity = 8
             kind = "binned8"
-        elif over8 <= over_budget:
+        elif over8 <= over_budget and lattice <= (1 << 24):
             # K=8 fast path: the few rank>=8 particles go through the exact
-            # overflow correction instead of padding every pair block
+            # overflow correction instead of padding every pair block (its
+            # per-bin compaction needs a materializable lattice)
             capacity = 8
             kind = "binned8"
             overflow_capacity = _round_up(max(2 * over8, 1024), 1024)

@@ -132,6 +132,136 @@ def sweep_global_pallas(
     return out
 
 
+DENSITY_TILE_X = 8
+
+
+def density_sweep_pallas(
+    fx, fy, fz,  # (slots, Xp, lanes) bin-fraction rasters, inf-filled pads
+    bin_size,  # traced scalar
+    compact_support_radius,  # traced scalar
+    slots: int,
+    LX: int,
+    Zp: int,
+    Wout: int,  # output lane width (>= LY*Zp, multiple of 128)
+    interpret: bool = False,
+):
+    """Pallas plane-sweep for the SPH per-particle density raster
+    (the density analog of ``sweep_global_pallas``; reference hot loop:
+    neighborhood_search.rs:444-588 + density_map.rs:169-185).
+
+    For every output x-plane tile: DMA the 3 fraction components of all
+    ``slots`` bin slots into VMEM, then accumulate the 27 stencil offsets x
+    slots^2 pair windows — each a (TILE_X, Wout) VPU expression with a
+    contiguous lane shift, all intermediates VMEM-resident (the XLA
+    formulation of the same sweep round-trips (slots^2, LX, W) blocks
+    through HBM).
+
+    Returns acc (slots, n_tiles*TILE_X, Wout): the *unnormalized* spline
+    sum ``sum f(q)/(4 pi)``; the caller scales by ``sigma * m``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, Xp, LANES = fx.shape
+    assert S == slots
+    dtype = fx.dtype
+    TILE_X = DENSITY_TILE_X
+    n_tiles = -(-LX // TILE_X)
+    win_x = -(-(TILE_X + 2) // 8) * 8  # 16
+    x_pad = (n_tiles - 1) * TILE_X + win_x - Xp
+    if x_pad > 0:
+        pw = ((0, 0), (0, x_pad), (0, 0))
+        fx = jnp.pad(fx, pw, constant_values=np.inf)
+        fy = jnp.pad(fy, pw, constant_values=np.inf)
+        fz = jnp.pad(fz, pw, constant_values=np.inf)
+
+    inv4pi = 1.0 / (4.0 * math.pi)
+    # traced geometry scalars ride in SMEM: [bin_size, 2/h]
+    params = jnp.stack(
+        [jnp.asarray(bin_size, dtype),
+         2.0 / jnp.asarray(compact_support_radius, dtype)]
+    ).reshape(1, 2)
+
+    def kernel(par, fxh, fyh, fzh, out_ref, sx, sy, sz, sems):
+        bs = par[0, 0]
+        two_over_h = par[0, 1]
+        t = pl.program_id(0)
+        x0 = t * TILE_X
+        copies = []
+        for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh)):
+            dma = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(x0, win_x)], scr, sems.at[len(copies)]
+            )
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        # dest (query) fractions with dest slots STACKED on sublanes:
+        # (slots*TILE_X, Wout) — one VPU expression covers every dest slot,
+        # keeping the unrolled program at 27*slots blocks instead of
+        # 27*slots^2 (a fully scalar-unrolled variant took Mosaic >25 min
+        # to compile at slots=8)
+        SB = slots * TILE_X
+        fq = [
+            s[:, 1 : 1 + TILE_X, Zp + 1 : Zp + 1 + Wout].reshape(SB, Wout)
+            for s in (sx, sy, sz)
+        ]
+        acc = jnp.zeros((SB, Wout), dtype)
+        for o0 in range(3):
+            dx0 = (o0 - 1) * bs
+            for kj in range(slots):
+                rx = sx[kj, o0 : o0 + TILE_X, :]
+                ry = sy[kj, o0 : o0 + TILE_X, :]
+                rz = sz[kj, o0 : o0 + TILE_X, :]
+                for o1 in range(3):
+                    for o2 in range(3):
+                        shift = o1 * Zp + o2
+
+                        def bc(w):
+                            return jnp.broadcast_to(
+                                w[None], (slots, TILE_X, Wout)
+                            ).reshape(SB, Wout)
+
+                        dx = fq[0] - bc(rx[:, shift : shift + Wout] + dx0)
+                        dy = fq[1] - bc(
+                            ry[:, shift : shift + Wout] + ((o1 - 1) * bs)
+                        )
+                        dz = fq[2] - bc(
+                            rz[:, shift : shift + Wout] + ((o2 - 1) * bs)
+                        )
+                        d2 = dx * dx + dy * dy + dz * dz
+                        q = jnp.sqrt(d2) * two_over_h
+                        a = jnp.maximum(2.0 - q, 0.0)
+                        b = jnp.maximum(1.0 - q, 0.0)
+                        acc = acc + (a * a * a - 4.0 * (b * b * b))
+        out_ref[...] = acc.reshape(slots, TILE_X, Wout) * inv4pi
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (slots, TILE_X, Wout), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((slots, n_tiles * TILE_X, Wout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((slots, win_x, LANES), dtype),
+            pltpu.VMEM((slots, win_x, LANES), dtype),
+            pltpu.VMEM((slots, win_x, LANES), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(params, fx, fy, fz)
+    return out
+
+
 def _offsets(hsc: int, margin: int) -> np.ndarray:
     from splashsurf_tpu.density import gather_cell_offsets
 

@@ -125,6 +125,7 @@ def marching_cubes_cleanup(
     max_rel_snap_distance: Optional[float] = None,
     max_iter: int = 5,
     keep_vertices: bool = False,
+    return_tri_map: bool = False,
 ) -> Tuple[TriMesh3d, List[List[int]]]:
     """Moore/Warren "mesh displacement" decimation (postprocessing.rs:99-242):
     collapse mesh vertices that share the same nearest grid point, averaging
@@ -154,7 +155,9 @@ def marching_cubes_cleanup(
             -1.0 if max_snap_sq is None else max_snap_sq,
             max_iter,
         )
-        return _finalize_collapsed(v_out, t_raw, tri_valid, owner, keep_vertices)
+        return _finalize_collapsed(
+            v_out, t_raw, tri_valid, owner, keep_vertices, return_tri_map
+        )
 
     he = HalfEdgeTriMesh(verts, mesh.triangles)
     sum_count = np.ones(len(verts), dtype=np.int64)
@@ -190,31 +193,96 @@ def marching_cubes_cleanup(
         if collapses == 0:
             break
 
-    return he.into_parts(keep_vertices)
+    return he.into_parts(keep_vertices, return_tri_map)
 
 
-def _finalize_collapsed(verts, tris_raw, tri_valid, owner, keep_vertices):
+def _finalize_collapsed(
+    verts, tris_raw, tri_valid, owner, keep_vertices, return_tri_map=False
+):
     """Assemble a TriMesh3d + vertex_map from native collapse outputs."""
     tris = tris_raw[tri_valid]
+    tri_map = np.nonzero(tri_valid)[0]
     nv = len(verts)
     merged_from = [[] for _ in range(nv)]
     for v in range(nv):
         merged_from[v if owner[v] < 0 else int(owner[v])].append(v)
     if keep_vertices:
-        return (
-            TriMesh3d(verts.astype(np.float32), tris.astype(np.int32)),
-            merged_from,
+        mesh = TriMesh3d(verts.astype(np.float32), tris.astype(np.int32))
+        vertex_map = merged_from
+    else:
+        used = np.zeros(nv, dtype=bool)
+        if len(tris):
+            used[tris.ravel()] = True
+        new_index = np.cumsum(used) - 1
+        mesh = TriMesh3d(
+            vertices=verts[used].astype(np.float32),
+            triangles=new_index[tris].astype(np.int32),
         )
-    used = np.zeros(nv, dtype=bool)
-    if len(tris):
-        used[tris.ravel()] = True
-    new_index = np.cumsum(used) - 1
-    mesh = TriMesh3d(
-        vertices=verts[used].astype(np.float32),
-        triangles=new_index[tris].astype(np.int32),
-    )
-    vertex_map = [merged_from[v] for v in np.nonzero(used)[0]]
+        vertex_map = [merged_from[v] for v in np.nonzero(used)[0]]
+    if return_tri_map:
+        return mesh, vertex_map, tri_map
     return mesh, vertex_map
+
+
+def _remap_attributes(meshdata, mesh, vertex_map, tri_map):
+    """Remap point/cell attributes of ``meshdata`` onto the collapsed
+    ``mesh``: point data averages over each output vertex's merged
+    originals; cell data follows the surviving-triangle map
+    (MeshWithData parity, mesh.rs:1227+)."""
+    from splashsurf_tpu.mesh import MeshAttribute, MeshWithData
+
+    point_attributes = []
+    for a in meshdata.point_attributes:
+        data = np.asarray(a.data)
+        counts = np.asarray([len(m) for m in vertex_map], np.int64)
+        flat = np.concatenate(
+            [np.asarray(m, np.int64) for m in vertex_map]
+        ) if len(vertex_map) else np.zeros(0, np.int64)
+        seg = np.repeat(np.arange(len(vertex_map)), counts)
+        if np.issubdtype(data.dtype, np.floating):
+            sums = np.zeros((len(vertex_map),) + data.shape[1:], data.dtype)
+            np.add.at(sums, seg, data[flat])
+            out = sums / np.maximum(counts, 1).reshape(
+                (-1,) + (1,) * (data.ndim - 1)
+            ).astype(data.dtype)
+        else:
+            # integer/index data: take the first merged original's value
+            first = np.array([m[0] if m else 0 for m in vertex_map], np.int64)
+            out = data[first]
+        point_attributes.append(MeshAttribute(a.name, out))
+    cell_attributes = [
+        MeshAttribute(a.name, np.asarray(a.data)[tri_map])
+        for a in meshdata.cell_attributes
+    ]
+    return MeshWithData(
+        mesh=mesh,
+        point_attributes=point_attributes,
+        cell_attributes=cell_attributes,
+    )
+
+
+def marching_cubes_cleanup_with_data(
+    meshdata,
+    grid: UniformGrid,
+    max_rel_snap_distance: Optional[float] = None,
+    max_iter: int = 5,
+    keep_vertices: bool = False,
+):
+    """MC cleanup on a ``MeshWithData``: point attributes are averaged over
+    merged vertices, cell attributes follow the surviving triangles."""
+    mesh, vertex_map, tri_map = marching_cubes_cleanup(
+        meshdata.mesh, grid, max_rel_snap_distance, max_iter,
+        keep_vertices=keep_vertices, return_tri_map=True,
+    )
+    return _remap_attributes(meshdata, mesh, vertex_map, tri_map)
+
+
+def decimation_with_data(meshdata, keep_vertices: bool = False):
+    """Barnacle decimation on a ``MeshWithData`` (attributes remapped)."""
+    mesh, vertex_map, tri_map = decimation(
+        meshdata.mesh, keep_vertices=keep_vertices, return_tri_map=True
+    )
+    return _remap_attributes(meshdata, mesh, vertex_map, tri_map)
 
 
 # ---------------------------------------------------------------------------
@@ -222,19 +290,23 @@ def _finalize_collapsed(verts, tris_raw, tri_valid, owner, keep_vertices):
 # ---------------------------------------------------------------------------
 
 
-def decimation(mesh: TriMesh3d, keep_vertices: bool = False):
+def decimation(
+    mesh: TriMesh3d, keep_vertices: bool = False, return_tri_map: bool = False
+):
     """Merge "barnacle" sliver configurations (postprocessing.rs:244-263)."""
     from splashsurf_tpu import native
 
     if native.available():
-        return _decimation_native(mesh, keep_vertices)
+        return _decimation_native(mesh, keep_vertices, return_tri_map)
     he = HalfEdgeTriMesh(mesh.vertices, mesh.triangles)
     merge_single_barnacle_configurations(he)
     merge_double_barnacle_configurations(he)
-    return he.into_parts(keep_vertices)
+    return he.into_parts(keep_vertices, return_tri_map)
 
 
-def _decimation_native(mesh: TriMesh3d, keep_vertices: bool):
+def _decimation_native(
+    mesh: TriMesh3d, keep_vertices: bool, return_tri_map: bool = False
+):
     """Barnacle decimation with candidate detection in Python (set logic on
     ring sizes from the native helper) and collapses in C++."""
     from splashsurf_tpu import native
@@ -244,11 +316,13 @@ def _decimation_native(mesh: TriMesh3d, keep_vertices: bool):
     # the collapse execution runs natively.
     collapses = _collect_single_barnacle_collapses(he) + _collect_double_barnacle_collapses(he)
     if not collapses:
-        return he.into_parts(keep_vertices)
+        return he.into_parts(keep_vertices, return_tri_map)
     verts, tris_raw, tri_valid, owner, _n = native.process_collapses(
         mesh.vertices, mesh.triangles, np.asarray(collapses, np.int64)
     )
-    return _finalize_collapsed(verts, tris_raw, tri_valid, owner, keep_vertices)
+    return _finalize_collapsed(
+        verts, tris_raw, tri_valid, owner, keep_vertices, return_tri_map
+    )
 
 
 def _collect_single_barnacle_collapses(he: HalfEdgeTriMesh):

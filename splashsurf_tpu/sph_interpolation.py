@@ -104,7 +104,7 @@ def _stencil_scan(points, positions, grid, cell_list, capacity, step_fn, init):
     dims = jnp.asarray(grid.dims, jnp.int32)
     n = positions.shape[0]
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    sorted_comp = [cell_list.sorted_positions[:, d] for d in range(3)]
+    sorted_comp = [cell_list.sorted_positions[d] for d in range(3)]
     q_comp = [points[:, d] for d in range(3)]
 
     def body(carry, offset):

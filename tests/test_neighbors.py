@@ -119,6 +119,59 @@ class TestDensities:
         expected = mass * float(kernels.cubic_kernel(jnp.asarray(0.0), h))
         np.testing.assert_allclose(rho, [expected], rtol=1e-6)
 
+    def test_raster_overflow_matches_direct_sum(self):
+        # A dense cluster forces bin occupancy > 8, exercising the per-bin
+        # overflow compaction + exact correction path.
+        from splashsurf_tpu import kernels
+        from splashsurf_tpu.neighbors import (
+            compute_particle_densities_raster,
+        )
+
+        rng = np.random.default_rng(7)
+        h, mass = 0.15, 0.5
+        # 300 background particles + a 40-particle clump in one bin
+        pts = rng.uniform(0.0, 1.0, size=(300, 3)).astype(np.float32)
+        clump = (0.5 + rng.uniform(-0.03, 0.03, size=(40, 3))).astype(
+            np.float32
+        )
+        pts = np.concatenate([pts, clump])
+        grid = BinGrid.for_domain(pts.min(axis=0), pts.max(axis=0), h)
+        cl = build_cell_list(pts, grid)
+        mx = max_bin_occupancy(cl)
+        assert mx > 8  # the clump must overflow K=8
+        rho = np.asarray(
+            compute_particle_densities_raster(
+                pts, grid, cl, h, mass, slots=8,
+                overflow_capacity=1024,
+                candidate_capacity=int(np.ceil((mx + 8) / 8) * 8),
+            )
+        )
+        p = pts.astype(np.float64)
+        d = np.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+        w = np.asarray(kernels.cubic_kernel(jnp.asarray(d), h))
+        np.testing.assert_allclose(rho, mass * w.sum(axis=1), rtol=2e-4)
+
+    def test_raster_pallas_interpret_matches_xla(self):
+        from splashsurf_tpu.neighbors import (
+            compute_particle_densities_raster,
+        )
+
+        rng = np.random.default_rng(11)
+        h, mass = 0.2, 0.8
+        pts = rng.uniform(0.0, 1.0, size=(500, 3)).astype(np.float32)
+        grid = BinGrid.for_domain(pts.min(axis=0), pts.max(axis=0), h)
+        cl = build_cell_list(pts, grid)
+        args = (pts, grid, cl, h, mass)
+        r_xla = np.asarray(
+            compute_particle_densities_raster(*args, slots=8, backend="xla")
+        )
+        r_pal = np.asarray(
+            compute_particle_densities_raster(
+                *args, slots=8, backend="pallas_interpret"
+            )
+        )
+        np.testing.assert_allclose(r_pal, r_xla, rtol=1e-5)
+
     def test_uniform_block_density_near_rest(self):
         # Particles on a 2r lattice with support 4r approximate rest density
         # in the bulk (the standard SPH sanity check).

@@ -130,6 +130,58 @@ class TestCleanupAndDecimation:
         assert check_mesh_consistency(cleaned.vertices, cleaned.triangles) is None
         assert sum(len(m) for m in vmap) == mesh.num_vertices
 
+    def test_cleanup_with_data_remaps_attributes(self):
+        from splashsurf_tpu.uniform_grid import UniformGrid
+        from splashsurf_tpu.aabb import Aabb3d
+        from splashsurf_tpu.mesh import MeshAttribute, MeshWithData
+
+        mesh = _sphere_mesh(33)
+        grid = UniformGrid.from_aabb(
+            Aabb3d((-1.6,) * 3, (1.6,) * 3), 3.0 / 32
+        )
+        # point attribute = x coordinate, cell attribute = triangle index
+        px = np.asarray(mesh.vertices)[:, 0].astype(np.float32)
+        cid = np.arange(mesh.num_triangles, dtype=np.int64)
+        md = MeshWithData(
+            mesh=mesh,
+            point_attributes=[MeshAttribute("px", px)],
+            cell_attributes=[MeshAttribute("cid", cid)],
+        )
+        out = postprocess.marching_cubes_cleanup_with_data(md, grid)
+        assert out.mesh.num_triangles < mesh.num_triangles
+        # cell attribute follows surviving triangles: values are a subset of
+        # the original ids, one per output triangle, strictly increasing
+        ocid = out.cell_attributes[0].data
+        assert len(ocid) == out.mesh.num_triangles
+        assert np.all(np.diff(ocid) > 0) and ocid[-1] < mesh.num_triangles
+        # point attribute: averaged x stays close to the collapsed vertex x
+        opx = out.point_attributes[0].data
+        assert len(opx) == out.mesh.num_vertices
+        dx = np.abs(opx - np.asarray(out.mesh.vertices)[:, 0])
+        assert float(np.quantile(dx, 0.9)) < 0.2  # merged-within-cell scale
+
+    def test_decimation_with_data_shapes(self):
+        from splashsurf_tpu.mesh import MeshAttribute, MeshWithData
+
+        mesh = _sphere_mesh(21)
+        md = MeshWithData(
+            mesh=mesh,
+            point_attributes=[
+                MeshAttribute(
+                    "v3", np.asarray(mesh.vertices, dtype=np.float64)
+                )
+            ],
+            cell_attributes=[
+                MeshAttribute(
+                    "area1", np.ones(mesh.num_triangles, np.float32)
+                )
+            ],
+        )
+        out = postprocess.decimation_with_data(md)
+        assert len(out.point_attributes[0].data) == out.mesh.num_vertices
+        assert out.point_attributes[0].data.shape[1] == 3
+        assert len(out.cell_attributes[0].data) == out.mesh.num_triangles
+
     def test_decimation_runs_and_stays_manifold(self):
         mesh = _sphere_mesh(21)
         out, _ = postprocess.decimation(mesh)

@@ -24,6 +24,27 @@ def _global_params(radius, rel_support, rel_cube, threshold=0.6):
 
 
 class TestSplatEquivalence:
+    def test_global_sweep_pallas_interpret_matches_scan(self, rng):
+        # The TPU plane-sweep kernel must agree with the portable scan
+        # backend (the only way to exercise it off-TPU).
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        pts = rng.uniform(0.1, 0.9, (800, 3)).astype(np.float32)
+        vals = rng.uniform(0.5, 2.0, (800,)).astype(np.float32)
+        support = 0.1
+        grid = UniformGrid.from_aabb(Aabb3d((-0.1,) * 3, (1.1,) * 3), 0.0375)
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+        r = gs.rasterize_global(
+            pts, vals, grid, 4, hsc, 4096, lane_align=128
+        )
+        ls_scan = np.asarray(
+            gs.sweep_global(*r[:8], grid, support, hsc, "scan")
+        )
+        ls_pal = np.asarray(
+            gs.sweep_global(*r[:8], grid, support, hsc, "pallas_interpret")
+        )
+        np.testing.assert_allclose(ls_pal, ls_scan, rtol=2e-5, atol=1e-5)
+
     def test_raster_matches_scatter(self, rng):
         pts = rng.uniform(0.1, 0.9, (1500, 3)).astype(np.float32)
         vals = rng.uniform(0.5, 2.0, (1500,)).astype(np.float32)
