@@ -8,8 +8,10 @@ scalable path.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +20,15 @@ from splashsurf_tpu.mesh import TriMesh3d
 from splashsurf_tpu.params import Parameters
 from splashsurf_tpu.reconstruction import SurfaceReconstruction
 from splashsurf_tpu.uniform_grid import UniformGrid
+
+
+# Frame speculation outcome counters (observability; reset freely in tests)
+SPECULATION_STATS = {
+    "frames": 0,
+    "density_miss": 0,
+    "grid_miss": 0,
+    "caps_retry": 0,
+}
 
 
 def compute_densities(positions, parameters: Parameters):
@@ -29,13 +40,161 @@ def compute_densities(positions, parameters: Parameters):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "bgrid", "kind", "kslots", "u_cap", "ocap", "ccap",
+        "csr", "hsc", "slots", "backend", "ofc", "vcap", "tcap",
+        "nv_b", "nc_b",
+    ),
+)
+def _warm_frame(
+    positions,
+    particle_rest_mass,
+    iso,
+    *,
+    grid,
+    bgrid,
+    kind: str,
+    kslots: int,
+    u_cap: int,
+    ocap: int,
+    ccap: int,
+    csr: float,
+    hsc: int,
+    slots: int,
+    backend: str,
+    ofc: int,
+    vcap: int,
+    tcap: int,
+    nv_b: int,
+    nc_b: int,
+):
+    """The ENTIRE warm frame as one program: densities (speculative plan) ->
+    raster -> level-set sweep -> packed MC -> transfer slices.
+
+    One dispatch + one device_get per frame. Splitting these into per-stage
+    jits measured ~500 ms/frame of inter-program overhead over the serving
+    tunnel at 2M particles — the stages themselves sum to <500 ms.
+    """
+    from splashsurf_tpu.ops import global_sweep as gs
+
+    rho, dcheck = neighbors._densities_planned(
+        positions, csr, particle_rest_mass, bgrid,
+        kind=kind, slots=kslots, u_cap=u_cap, ocap=ocap, ccap=ccap,
+    )
+    values = particle_rest_mass / rho
+    lane_align = 128 if backend.startswith("pallas") else 1
+    r = gs.rasterize_global(
+        positions, values, grid, slots, hsc, ofc, lane_align=lane_align
+    )
+    ls = gs.sweep_global(*r[:8], grid, csr, hsc, backend)
+    out = gs.mc_global_packed(
+        ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap, encode=True
+    )
+    ae, t, cells, cases, total_v, total_t, total_c = out
+    packed = gs._pack_encoded(ae, t, cells, cases, nv=nv_b, nc=nc_b)
+    return packed + (total_v, total_t, total_c, r[8], dcheck, rho)
+
+
+def _try_warm_frame(positions, parameters: Parameters, grid, hsc, grid_check):
+    """Run the single-dispatch warm frame if every plan is in place.
+
+    Returns (verts, tris, rho) on success, None when any plan is missing or
+    missed (caller falls back to the cold multi-dispatch orchestration).
+    Raises GridPlanMiss when the speculated background grid is stale.
+    """
+    from splashsurf_tpu.ops import global_sweep as gs
+    from splashsurf_tpu.profiling import profile
+    from splashsurf_tpu.reconstruction import GridPlanMiss
+
+    import os
+
+    if os.environ.get("SPLASHSURF_TPU_MONO_FRAME", "0") != "1":
+        # One giant program measured ~2x SLOWER than the per-stage jits on
+        # TPU (XLA layout/scheduling pessimizes the composed graph); keep
+        # the fused frame opt-in until that is understood.
+        return None
+    csr = float(parameters.compact_support_radius)
+    dtype = str(positions.dtype)
+    dkey = (int(positions.shape[0]), dtype, csr, None)
+    dplan = neighbors._DENSITY_PLAN.get(dkey)
+    key = (grid.n_points, dtype)
+    caps = gs._MC_CAPS.get(key)
+    pull_plan = gs._PULL_PLAN.get(key)
+    if dplan is None or caps is None or pull_plan is None:
+        return None
+    vcap, tcap = caps
+    nv_b, nc_b = pull_plan
+    if nv_b > vcap or nc_b > tcap:
+        return None
+    backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    ofc = gs._pow2(int(positions.shape[0]) // 64, lo=4096)
+
+    with profile("warm frame dispatch"):
+        out = _warm_frame(
+            positions,
+            jnp.asarray(parameters.particle_rest_mass, positions.dtype),
+            jnp.asarray(parameters.iso_surface_threshold, positions.dtype),
+            grid=grid, bgrid=dplan["grid"], kind=dplan["kind"],
+            kslots=dplan["slots"], u_cap=dplan["u_cap"],
+            ocap=dplan["ocap"], ccap=dplan["ccap"], csr=csr, hsc=hsc,
+            slots=2, backend=backend, ofc=ofc, vcap=vcap, tcap=tcap,
+            nv_b=nv_b, nc_b=nc_b,
+        )
+    ae, t, cells, cases, tv_d, tt_d, tc_d, nov_d, dcheck, rho = out
+    with profile("pull mesh"):
+        extra = (grid_check,) if grid_check is not None else ()
+        pulled = jax.device_get(
+            (tv_d, tt_d, tc_d, nov_d, dcheck) + extra
+            + (ae, t, cells, cases)
+        )
+    total_v, total_t, total_c, total_over = (int(x) for x in pulled[:4])
+    density_ok = bool(pulled[4])
+    grid_ok = bool(pulled[5]) if grid_check is not None else True
+    enc = pulled[-4:]
+    if not grid_ok:
+        raise GridPlanMiss("speculated background grid is stale")
+    if not density_ok:
+        neighbors.clear_density_plan()
+        return None
+    if total_over > ofc:
+        raise RuntimeError(
+            f"raster overflow {total_over} exceeds capacity {ofc}"
+        )
+    if total_v > vcap or total_t > tcap:
+        gs._MC_CAPS[key] = (
+            gs._bucket16(total_v * 5 // 4), gs._bucket16(total_t * 5 // 4)
+        )
+        gs._PULL_PLAN.pop(key, None)
+        return None
+    if total_v > nv_b or total_c > nc_b:
+        # transfer-bucket miss: record the larger buckets and fall back
+        gs._PULL_PLAN[key] = (
+            min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
+        )
+        return None
+    gs._PULL_PLAN[key] = (
+        min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
+    )
+    with profile("decode mesh"):
+        verts, tris = gs._decode_packed_mesh(
+            enc[0], enc[1], enc[2], enc[3], total_v, total_t, total_c, grid
+        )
+    return verts, tris, rho
+
+
 def reconstruct_surface_global(
     positions,
     parameters: Parameters,
     grid: UniformGrid,
     particle_inside_aabb: Optional[np.ndarray] = None,
+    grid_check=None,
 ) -> SurfaceReconstruction:
-    from splashsurf_tpu.ops.global_sweep import reconstruct_global_dense
+    from splashsurf_tpu.ops.global_sweep import (
+        SpeculationMiss,
+        reconstruct_global_dense,
+    )
     from splashsurf_tpu.profiling import profile
     from splashsurf_tpu.uniform_grid import kernel_extents
 
@@ -43,10 +202,30 @@ def reconstruct_surface_global(
     hsc = kernel_extents(
         parameters.compact_support_radius, grid.cell_size
     ).half_supported_cells
+    SPECULATION_STATS["frames"] += 1
 
-    # Densities run under a speculative frame plan (previous frame's bin
-    # lattice + capacities); its validity flag is pulled together with the
-    # final mesh totals, and a miss recomputes the frame from scratch.
+    warm = _try_warm_frame(positions, parameters, grid, hsc, grid_check)
+    if warm is not None:
+        verts, tris, rho = warm
+        mesh = TriMesh3d(vertices=verts, triangles=tris)
+        particle_neighbors = None
+        if parameters.global_neighborhood_list:
+            lists = neighbors.neighborhood_search_spatial_hashing_parallel(
+                positions, parameters.compact_support_radius
+            )
+            particle_neighbors = _lists_to_csr(lists)
+        return SurfaceReconstruction(
+            grid=grid,
+            mesh=mesh,
+            particle_densities=rho,
+            particle_neighbors=particle_neighbors,
+            particle_inside_aabb=particle_inside_aabb,
+        )
+
+    # Densities (and, for warm frames, the background grid) run under
+    # speculative plans; their validity flags are pulled together with the
+    # final mesh totals. A density miss recomputes the frame here; a grid
+    # miss propagates to reconstruct_surface, which re-derives the grid.
     for _attempt in range(2):
         with profile("compute particle densities"):
             rho, check = neighbors.compute_particle_densities(
@@ -56,6 +235,14 @@ def reconstruct_surface_global(
                 speculate=True,
             )
         values = jnp.asarray(parameters.particle_rest_mass, rho.dtype) / rho
+        checks = []
+        labels = []
+        if check is not None:
+            checks.append(check)
+            labels.append("density")
+        if grid_check is not None:
+            checks.append(grid_check)
+            labels.append("grid")
         try:
             verts, tris = reconstruct_global_dense(
                 positions,
@@ -64,10 +251,19 @@ def reconstruct_surface_global(
                 parameters.compact_support_radius,
                 hsc,
                 parameters.iso_surface_threshold,
-                deferred_checks=() if check is None else (check,),
+                deferred_checks=tuple(checks),
             )
             break
-        except neighbors.DensityPlanMiss:
+        except SpeculationMiss as e:
+            failed = {
+                labels[i] for i, ok in enumerate(e.flags) if not ok
+            }
+            if "grid" in failed:
+                from splashsurf_tpu.reconstruction import GridPlanMiss
+
+                SPECULATION_STATS["grid_miss"] += 1
+                raise GridPlanMiss(str(e)) from e
+            SPECULATION_STATS["density_miss"] += 1
             neighbors.clear_density_plan()
     mesh = TriMesh3d(vertices=verts, triangles=tris)
 

@@ -715,18 +715,26 @@ def compute_particle_densities_raster(
             for o1 in (0, 1, 2):
                 for o2 in (0, 1, 2):
                     shift = o1 * Zp + o2
-                    d2 = jnp.zeros((slots, slots, LX, W), dtype)
-                    for d, od in enumerate((o0, o1, o2)):
-                        win = flat[d][:, o0 : o0 + LX, shift : shift + W]
-                        # empty slots: inf fracs -> d2 = inf -> W = 0
-                        # exactly; NaNs (inf - inf) only reach empty *query*
-                        # slots, which the readback never touches.
-                        diff = fq[d][:, None] - (
-                            win[None, :] + jnp.asarray(od - 1, dtype) * bs
-                        )
-                        d2 = d2 + diff * diff
-                    w = kernels.cubic_kernel(jnp.sqrt(d2), h)
-                    acc = acc + jnp.sum(w, axis=1)
+                    wins = [
+                        flat[d][:, o0 : o0 + LX, shift : shift + W]
+                        for d in range(3)
+                    ]
+                    # explicit source-slot loop: leading-dim broadcasts of
+                    # (LX, W) against (slots, LX, W) vectorize far better
+                    # than the (q, s, LX, W) outer-product blocks XLA built
+                    # for the fused form
+                    for kj in range(slots):
+                        d2 = jnp.zeros((slots, LX, W), dtype)
+                        for d, od in enumerate((o0, o1, o2)):
+                            # empty slots: inf fracs -> d2 = inf -> W = 0
+                            # exactly; NaNs (inf - inf) only reach empty
+                            # *query* slots, which the readback never reads.
+                            diff = fq[d] - (
+                                wins[d][kj]
+                                + jnp.asarray(od - 1, dtype) * bs
+                            )[None]
+                            d2 = d2 + diff * diff
+                        acc = acc + kernels.cubic_kernel(jnp.sqrt(d2), h)
         acc_flat = acc.reshape(-1)
         src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
 
@@ -881,8 +889,10 @@ def compute_particle_densities(
         and (max_occ <= 8 or over8 <= over_budget)
     ):
         if max_occ > 8:
-            # headroom so frame-to-frame occupancy drift keeps the plan valid
-            overflow_capacity = _round_up(max(2 * over8, 1024), 1024)
+            # headroom so frame-to-frame occupancy drift keeps the plan
+            # valid; 256-step bucketing keeps the correction's pair block
+            # small (it is ~(OC, 27*ccap) — a 1024 floor was 90%+ padding)
+            overflow_capacity = _round_up(max(2 * over8, 256), 256)
             candidate_capacity = _round_up(max_occ + 8)
         rho = compute_particle_densities_raster(
             positions,
@@ -913,7 +923,7 @@ def compute_particle_densities(
             # per-bin compaction needs a materializable lattice)
             capacity = 8
             kind = "binned8"
-            overflow_capacity = _round_up(max(2 * over8, 1024), 1024)
+            overflow_capacity = _round_up(max(2 * over8, 256), 256)
             candidate_capacity = _round_up(max_occ + 8)
         else:
             capacity = _round_up(max_occ)

@@ -258,7 +258,7 @@ def sweep_global(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "vertex_capacity", "triangle_capacity"),
+    static_argnames=("grid", "vertex_capacity", "triangle_capacity", "encode"),
 )
 def mc_global_packed(
     ls,  # (PX, PY, PZ) level set on grid points
@@ -266,6 +266,7 @@ def mc_global_packed(
     iso,
     vertex_capacity: int,
     triangle_capacity: int,
+    encode: bool = False,
 ):
     """Packed marching cubes over the dense global grid.
 
@@ -315,12 +316,13 @@ def mc_global_packed(
     t = jnp.clip(
         (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom), 0.0, 1.0
     )
-    pvs = []
-    for d in range(3):
-        pos_d = mn[d] + ijk[:, d].astype(dtype) * cs
-        pos_d = pos_d + jnp.where(axis == d, t, 0) * cs
-        pvs.append(pos_d)
-    vx, vy, vz = pvs
+    if not encode:
+        pvs = []
+        for d in range(3):
+            pos_d = mn[d] + ijk[:, d].astype(dtype) * cs
+            pos_d = pos_d + jnp.where(axis == d, t, 0) * cs
+            pvs.append(pos_d)
+        vx, vy, vz = pvs
 
     # --- phase 3: active-cell compaction + triangle emission --------------
     case = jnp.zeros((PX - 1, PY - 1, PZ - 1), jnp.int32)
@@ -333,6 +335,34 @@ def mc_global_packed(
     ccum = jnp.cumsum(counts)
     offsets = ccum - counts
     total_t = ccum[-1]
+
+    if encode:
+        # Compact-transfer encoding: the host rebuilds triangle indices from
+        # (cell id, case) pairs and vertex positions from (edge id, t) —
+        # ~3x fewer bytes across the device link, and the per-slot
+        # forward-fill + triangle-corner gathers move to cheap host numpy.
+        active = counts > 0
+        acum = jnp.cumsum(active.astype(jnp.int32))
+        total_c = acum[-1]
+        n_cells_flat = case_flat.shape[0]
+        ucdest = jnp.where(active, acum - 1, triangle_capacity)
+        cells_c = (
+            jnp.zeros((triangle_capacity,), jnp.int32)
+            .at[ucdest]
+            .set(
+                jnp.arange(n_cells_flat, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+            )
+        )
+        cases_c = (
+            jnp.zeros((triangle_capacity,), jnp.uint8)
+            .at[ucdest]
+            .set(
+                case_flat.astype(jnp.uint8), mode="drop", unique_indices=True
+            )
+        )
+        return active_edge, t, cells_c, cases_c, total_v, total_t, total_c
 
     n_cells_flat = case_flat.shape[0]
     # Compact active cells: every active cell emits >= 1 triangle, so the
@@ -392,6 +422,18 @@ _MC_CAPS: dict = {}
 _PULL_PLAN: dict = {}
 
 
+class SpeculationMiss(RuntimeError):
+    """One of the caller's deferred speculative checks pulled False.
+
+    ``flags`` holds the boolean value of each check, in the order they were
+    passed via ``deferred_checks``; the caller maps indices back to plans.
+    """
+
+    def __init__(self, flags):
+        super().__init__(f"speculative plan violated: {flags}")
+        self.flags = tuple(flags)
+
+
 def _pow2(n: int, lo: int = 1024) -> int:
     return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
 
@@ -409,6 +451,71 @@ def _pack_mesh(vx, vy, vz, t0, t1, t2, nv: int, nt: int):
     """Pack the mesh into two contiguous buffers for the host pull."""
     verts = jnp.stack([vx[:nv], vy[:nv], vz[:nv]])
     tris = jnp.stack([t0[:nt], t1[:nt], t2[:nt]])
+    return verts, tris
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "nc"))
+def _pack_encoded(ae, t, cells, cases, nv: int, nc: int):
+    """Slice the encoded mesh streams to their transfer buckets."""
+    return ae[:nv], t[:nv], cells[:nc], cases[:nc]
+
+
+def _decode_packed_mesh(ae, t, cells, cases, total_v, total_t, total_c, grid):
+    """Host rebuild of the mesh from the compact encoding.
+
+    Vertex positions mirror the device's phase-2 arithmetic in f32 numpy;
+    triangle vertex indices come from the case LUT + a searchsorted over
+    the (ascending) active-edge ids.
+    """
+    n_points = grid.n_points
+    _shapes, strides, offs, _total = mc_dense.edge_layout(n_points)
+    ae = np.asarray(ae[:total_v])
+    t = np.asarray(t[:total_v])
+    axis = np.where(ae >= offs[2], 2, np.where(ae >= offs[1], 1, 0))
+    ijk = np.zeros((total_v, 3), np.int64)
+    for a in range(3):
+        la = ae - offs[a]
+        s0, s1, _ = strides[a]
+        ia = la // s0
+        ra = la - ia * s0
+        sel = axis == a
+        ijk[sel, 0] = ia[sel]
+        ijk[sel, 1] = (ra // s1)[sel]
+        ijk[sel, 2] = (ra - (ra // s1) * s1)[sel]
+    dtype = t.dtype
+    cs = dtype.type(grid.cell_size)
+    verts = np.empty((total_v, 3), dtype)
+    for d in range(3):
+        pos_d = dtype.type(grid.min[d]) + ijk[:, d].astype(dtype) * cs
+        verts[:, d] = pos_d + np.where(axis == d, t, dtype.type(0)) * cs
+    if total_v == 0 or total_t == 0:
+        return verts[:0], np.zeros((0, 3), np.int32)
+
+    cells = np.asarray(cells[:total_c]).astype(np.int64)
+    cases = np.asarray(cases[:total_c]).astype(np.int64)
+    counts = lut.TRI_COUNT[cases].astype(np.int64)
+    rep = np.repeat(np.arange(total_c, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    slot = np.arange(len(rep), dtype=np.int64) - starts[rep]
+    assert len(rep) == total_t, (len(rep), total_t)
+    _py, _pz = n_points[1], n_points[2]
+    cy, cz = _py - 1, _pz - 1
+    ci = cells // (cy * cz)
+    cj = (cells // cz) % cy
+    ck = cells % cz
+    const, ci_c, cj_c, ck_c = mc_dense._local_edge_coeffs(n_points)
+    const = const.astype(np.int64)
+    tris = np.empty((total_t, 3), np.int32)
+    tri_tab = np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0)
+    for corner in range(3):
+        local = tri_tab[cases[rep], slot, corner]
+        edge_flat = (
+            const[local]
+            + ci_c[local].astype(np.int64) * ci[rep]
+            + cj_c[local].astype(np.int64) * cj[rep]
+            + ck_c[local].astype(np.int64) * ck[rep]
+        )
+        tris[:, corner] = np.searchsorted(ae, edge_flat).astype(np.int32)
     return verts, tris
 
 
@@ -457,6 +564,11 @@ def reconstruct_global_dense(
             caps = (_bucket16(int(nv) * 5 // 4), _bucket16(int(nt) * 5 // 4))
             _MC_CAPS[key] = caps
 
+    # NOTE: a compact (edge id, t) + (cell id, case) transfer encoding
+    # exists (mc_global_packed(encode=True) + _decode_packed_mesh) and cuts
+    # link bytes ~3x, but the host-side rebuild costs more than the saved
+    # transfer on slow host CPUs; the mono-frame path uses it, this default
+    # path transfers the packed buffers directly.
     while True:
         vcap, tcap = caps
         with profile("marching cubes"):
@@ -473,7 +585,7 @@ def reconstruct_global_dense(
                     + (pv, pt)
                 )
                 total_v, total_t, total_over = (int(x) for x in pulled[:3])
-                checks_ok = all(bool(c) for c in pulled[3:-2])
+                flags = [bool(c) for c in pulled[3:-2]]
                 pv, pt = pulled[-2], pulled[-1]
             else:
                 # planning frame: totals first, then the packed buffers
@@ -481,14 +593,10 @@ def reconstruct_global_dense(
                     (out[6], out[7], n_over) + tuple(deferred_checks)
                 )
                 total_v, total_t, total_over = (int(x) for x in pulled[:3])
-                checks_ok = all(bool(c) for c in pulled[3:])
+                flags = [bool(c) for c in pulled[3:]]
                 pv = pt = None
-            if not checks_ok:
-                from splashsurf_tpu.neighbors import DensityPlanMiss
-
-                raise DensityPlanMiss(
-                    "speculative density plan violated; recomputing frame"
-                )
+            if not all(flags):
+                raise SpeculationMiss(flags)
             if total_over > overflow_capacity:
                 raise RuntimeError(
                     f"raster overflow {total_over} exceeds capacity "

@@ -55,9 +55,9 @@ def sweep_global_pallas(
     PX, PY, PZ = (int(v) for v in n_points)
     p = hsc + 1
     offs = gather_cell_offsets(hsc) + p
-    by_o0 = {}
+    by_o01 = {}
     for o0, o1, o2 in offs:
-        by_o0.setdefault(int(o0), []).append((int(o1), int(o2)))
+        by_o01.setdefault((int(o0), int(o1)), []).append(int(o2))
     win_x = -(-2 * p // 8) * 8
 
     # DMA windows reach x0 + win_x; pad x if the rounded window overruns.
@@ -89,23 +89,34 @@ def sweep_global_pallas(
 
         acc = jnp.zeros((PY, PZ), dtype)
         for s in range(S):
-            for o0, o12 in by_o0.items():
-                vx = sx[s, o0]
-                vy = sy[s, o0]
-                vz = sz[s, o0]
-                vv = sv[s, o0]
-                dx0 = (o0 - p) * cs
-                for o1, o2 in o12:
-                    wx = vx[o1 : o1 + PY, o2 : o2 + PZ] + dx0
-                    wy = vy[o1 : o1 + PY, o2 : o2 + PZ] + ((o1 - p) * cs)
-                    wz = vz[o1 : o1 + PY, o2 : o2 + PZ] + ((o2 - p) * cs)
-                    wv = vv[o1 : o1 + PY, o2 : o2 + PZ]
-                    d2 = wx * wx + wy * wy + wz * wz
+            prev_o0 = None
+            dxsq = vy = vz = vv = None
+            for (o0, o1), o2s in by_o01.items():
+                if o0 != prev_o0:
+                    # hoist the x-term square over the whole (o1, o2) fan:
+                    # d2 associates as ((wx^2 + wy^2) + wz^2), so sharing
+                    # the partial sums is bit-identical to the naive form
+                    vx = sx[s, o0]
+                    wx = vx + ((o0 - p) * cs)
+                    dxsq = wx * wx
+                    vy = sy[s, o0]
+                    vz = sz[s, o0]
+                    vv = sv[s, o0]
+                    prev_o0 = o0
+                wy = vy[o1 : o1 + PY, :] + ((o1 - p) * cs)
+                A = dxsq[o1 : o1 + PY, :] + wy * wy  # (PY, Zp)
+                vz1 = vz[o1 : o1 + PY, :]
+                vv1 = vv[o1 : o1 + PY, :]
+                for o2 in o2s:
+                    wz = vz1[:, o2 : o2 + PZ] + ((o2 - p) * cs)
+                    d2 = A[:, o2 : o2 + PZ] + wz * wz
                     q = jnp.sqrt(d2) * (2.0 / h)
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
-                    acc = acc + (a * a * a - 4.0 * (b * b * b)) * (sigma) * wv
-        out_ref[0] = acc
+                    acc = acc + (a * a * a - 4.0 * (b * b * b)) * (
+                        vv1[:, o2 : o2 + PZ]
+                    )
+        out_ref[0] = acc * sigma
 
     out = pl.pallas_call(
         kernel,

@@ -32,6 +32,80 @@ class SurfaceReconstruction:
     particle_inside_aabb: Optional[np.ndarray] = None
 
 
+# Speculative background-grid plan: jittered animation frames keep the same
+# aligned grid, so warm frames skip the AABB host round trip and validate a
+# device flag pulled with the mesh totals instead (a miss recomputes cold).
+_GRID_PLAN: dict = {}
+# Keys whose grid misses even though the cold recompute reproduces the same
+# grid (domain extent straddling an alignment boundary): speculating again
+# would double-compute every frame, so these pay the cheap AABB pull instead.
+_GRID_NOSPEC: set = set()
+_PENDING_NOSPEC: dict = {}
+
+
+class GridPlanMiss(RuntimeError):
+    """A speculated background grid no longer matches the particle AABB."""
+
+
+def clear_grid_plan():
+    _GRID_PLAN.clear()
+    _GRID_NOSPEC.clear()
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _grid_check_jit():
+    import jax
+
+    return jax.jit(
+        _grid_check_device_impl, static_argnames=("grid", "grow")
+    )
+
+
+def _grid_check_device(positions, grid: UniformGrid, grow: float):
+    """Jitted device bool (one dispatch — eager jnp ops would each pay a
+    tunnel round trip)."""
+    return _grid_check_jit()(positions, grid=grid, grow=float(grow))
+
+
+def _grid_check_device_impl(positions, grid: UniformGrid, grow: float):
+    """Device bool: would ``grid_for_reconstruction`` on these positions
+    reproduce ``grid``? Conservative: alignment quantities landing within
+    1e-3 cells of an integer boundary (where f32 device math could disagree
+    with the host's f64) report a miss rather than risk a stale grid."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(positions)
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    dt = p.dtype
+    cs = jnp.asarray(grid.cell_size, dt)
+    glo = lo - jnp.asarray(grow, dt)
+    ghi = hi + jnp.asarray(grow, dt)
+    q = glo / cs
+    mi = jnp.floor(q)
+    amin = mi * cs
+    q2 = (ghi - amin) / cs
+    nc = jnp.ceil(q2)
+    exp_mi = jnp.asarray(
+        np.round(np.asarray(grid.min) / grid.cell_size), dt
+    )
+    exp_nc = jnp.asarray(grid.n_cells, dt)
+    # "unsafe" band where f32 device math could floor/ceil differently from
+    # the host's f64: 16 ulps covers the ~5-op rounding chain with margin.
+    # (An absolute 1e-3 band misfired: a dam-break whose extent lands
+    # 9e-4 cells from an integer missed the plan on EVERY frame.)
+    ulp = jnp.asarray(np.float32(1.2e-7), dt)
+    eps_q = 16.0 * ulp * jnp.maximum(jnp.abs(q), 1.0)
+    eps_q2 = 16.0 * ulp * jnp.maximum(jnp.abs(q2), 1.0)
+    safe = jnp.all(jnp.abs(q - jnp.round(q)) > eps_q) & jnp.all(
+        jnp.abs(q2 - jnp.round(q2)) > eps_q2
+    )
+    return safe & jnp.all(mi == exp_mi) & jnp.all(nc == exp_nc)
+
+
 def grid_for_reconstruction(
     particle_positions,
     particle_radius: float,
@@ -98,89 +172,150 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
         inside_aabb = mask
         particle_positions = particle_positions[mask]
 
-    grid = grid_for_reconstruction(
-        particle_positions,
-        parameters.particle_radius,
-        parameters.compact_support_radius,
-        parameters.cube_size,
-        parameters.particle_aabb,
-    )
+    # Warm frames of a sequence reuse the previous frame's aligned grid and
+    # defer validation to a device flag pulled with the mesh (saves the
+    # per-frame AABB round trip); a miss re-derives the grid cold.
+    gkey = None
+    if on_device and parameters.particle_aabb is None:
+        gkey = (
+            int(particle_positions.shape[0]),
+            str(particle_positions.dtype),
+            float(parameters.particle_radius),
+            float(parameters.compact_support_radius),
+            float(parameters.cube_size),
+        )
+    base_positions = particle_positions
 
-    # Bucket the particle count so animation sequences with varying N reuse
-    # compiled programs (remote TPU compiles cost minutes). Padding dummies
-    # form a compact block at ordinary particle spacing just outside the
-    # grid: they occupy no subdomain, contribute exactly W=0 to every real
-    # particle/grid point (>= 3 support radii away), and keep the density
-    # bin lattice small (a support-spaced block would inflate the lattice —
-    # and the dense density sweep — by an order of magnitude).
-    n_real = len(particle_positions)
-    granularity = 1 << max(n_real.bit_length() - 3, 6)
-    n_padded = -(-n_real // granularity) * granularity
-    if n_padded > n_real:
-        pad = n_padded - n_real
-        support = parameters.compact_support_radius
-        # 0.51 support: at most 2 dummies per axis land in any
-        # support-sized density bin (8 per bin), and never 3 — an exact
-        # half-bin lattice would tie-break on float rounding into 27/bin,
-        # forcing thousands of particles through the overflow path.
-        spacing = 0.51 * support
-        side = int(np.ceil(pad ** (1.0 / 3.0)))
-        ii = np.arange(pad)
-        cube = np.stack(
-            [ii // (side * side), (ii // side) % side, ii % side], axis=1
-        ).astype(particle_positions.dtype)
-        # Offset along -x only, flush with the grid corner in y/z: the
-        # density bin lattice spans the union box of real+dummy particles,
-        # so a diagonal offset would inflate it in every dimension.
-        start = np.asarray(grid.min, dtype=particle_positions.dtype).copy()
-        start[0] -= 4.0 * support + side * spacing
-        dummies = start + cube * spacing
-        if on_device:
-            import jax.numpy as jnp
+    rec = None
+    for attempt in range(2):
+        use_cached_grid = (
+            attempt == 0
+            and gkey is not None
+            and gkey in _GRID_PLAN
+            and gkey not in _GRID_NOSPEC
+        )
+        grid_check = None
+        if use_cached_grid:
+            grid = _GRID_PLAN[gkey]
+            grow = (
+                parameters.particle_radius
+                + kernel_extents(
+                    parameters.compact_support_radius, parameters.cube_size
+                ).kernel_evaluation_radius
+            )
+            grid_check = _grid_check_device(base_positions, grid, grow)
+        else:
+            grid = grid_for_reconstruction(
+                base_positions,
+                parameters.particle_radius,
+                parameters.compact_support_radius,
+                parameters.cube_size,
+                parameters.particle_aabb,
+            )
+        particle_positions = base_positions
 
-            particle_positions = jnp.concatenate(
-                [particle_positions, jnp.asarray(dummies)], axis=0
+        # Bucket the particle count so animation sequences with varying N
+        # reuse compiled programs (remote TPU compiles cost minutes).
+        # Padding dummies form a compact block at ordinary particle spacing
+        # just outside the grid: they occupy no subdomain, contribute
+        # exactly W=0 to every real particle/grid point (>= 3 support radii
+        # away), and keep the density bin lattice small (a support-spaced
+        # block would inflate the lattice — and the dense density sweep —
+        # by an order of magnitude).
+        n_real = len(particle_positions)
+        granularity = 1 << max(n_real.bit_length() - 3, 6)
+        n_padded = -(-n_real // granularity) * granularity
+        if n_padded > n_real:
+            pad = n_padded - n_real
+            support = parameters.compact_support_radius
+            # 0.51 support: at most 2 dummies per axis land in any
+            # support-sized density bin (8 per bin), and never 3 — an exact
+            # half-bin lattice would tie-break on float rounding into
+            # 27/bin, forcing thousands of particles through the overflow
+            # path.
+            spacing = 0.51 * support
+            side = int(np.ceil(pad ** (1.0 / 3.0)))
+            ii = np.arange(pad)
+            cube = np.stack(
+                [ii // (side * side), (ii // side) % side, ii % side], axis=1
+            ).astype(particle_positions.dtype)
+            # Offset along -x only, flush with the grid corner in y/z: the
+            # density bin lattice spans the union box of real+dummy
+            # particles, so a diagonal offset would inflate it in every
+            # dimension.
+            start = np.asarray(grid.min, dtype=particle_positions.dtype).copy()
+            start[0] -= 4.0 * support + side * spacing
+            dummies = start + cube * spacing
+            if on_device:
+                import jax.numpy as jnp
+
+                particle_positions = jnp.concatenate(
+                    [particle_positions, jnp.asarray(dummies)], axis=0
+                )
+            else:
+                particle_positions = np.concatenate(
+                    [particle_positions, dummies], axis=0
+                )
+
+        decomposition = parameters.spatial_decomposition
+        if decomposition == SpatialDecomposition.UNIFORM_GRID:
+            n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
+            if parameters.grid_decomposition.auto_disable:
+                # Auto-disable decomposition if the domain is hardly larger
+                # than a single subdomain (lib.rs:422-443).
+                max_cells = max(grid.n_cells)
+                if max_cells <= 1.2 * n_sub:
+                    decomposition = SpatialDecomposition.NONE
+                elif grid.total_cells <= _global_dense_max_cells():
+                    # TPU dispatch: when the whole background grid fits in
+                    # HBM, the dense global raster sweep beats the
+                    # decomposition pipeline outright (no pair
+                    # expansion/sort, no halo, no stitching). Decomposition
+                    # remains the scalable path for sparse/huge domains
+                    # (dense_subdomains.rs rationale).
+                    decomposition = SpatialDecomposition.NONE
+
+        if decomposition == SpatialDecomposition.UNIFORM_GRID:
+            if use_cached_grid:
+                # the subdomain pipeline has no deferred-check hook; fall
+                # back to a cold grid rather than trust the speculation
+                _GRID_PLAN.pop(gkey, None)
+                continue
+            from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
+
+            rec = reconstruct_surface_subdomain_grid(
+                particle_positions, parameters, grid,
+                particle_inside_aabb=inside_aabb,
             )
         else:
-            particle_positions = np.concatenate(
-                [particle_positions, dummies], axis=0
-            )
+            if grid.total_cells > 128_000_000:
+                raise ValueError(
+                    f"global reconstruction would materialize a dense "
+                    f"{grid.n_cells} grid ({grid.total_cells} cells); use "
+                    f"SpatialDecomposition.UNIFORM_GRID for domains this large"
+                )
+            from splashsurf_tpu.global_pipeline import reconstruct_surface_global
 
-    decomposition = parameters.spatial_decomposition
-    if decomposition == SpatialDecomposition.UNIFORM_GRID:
-        n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
-        if parameters.grid_decomposition.auto_disable:
-            # Auto-disable decomposition if the domain is hardly larger than a
-            # single subdomain (lib.rs:422-443).
-            max_cells = max(grid.n_cells)
-            if max_cells <= 1.2 * n_sub:
-                decomposition = SpatialDecomposition.NONE
-            elif grid.total_cells <= _global_dense_max_cells():
-                # TPU dispatch: when the whole background grid fits in HBM,
-                # the dense global raster sweep beats the decomposition
-                # pipeline outright (no pair expansion/sort, no halo, no
-                # stitching). Decomposition remains the scalable path for
-                # sparse/huge domains (dense_subdomains.rs rationale).
-                decomposition = SpatialDecomposition.NONE
-
-    if decomposition == SpatialDecomposition.UNIFORM_GRID:
-        from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
-
-        rec = reconstruct_surface_subdomain_grid(
-            particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
-        )
-    else:
-        if grid.total_cells > 128_000_000:
-            raise ValueError(
-                f"global reconstruction would materialize a dense "
-                f"{grid.n_cells} grid ({grid.total_cells} cells); use "
-                f"SpatialDecomposition.UNIFORM_GRID for domains this large"
-            )
-        from splashsurf_tpu.global_pipeline import reconstruct_surface_global
-
-        rec = reconstruct_surface_global(
-            particle_positions, parameters, grid, particle_inside_aabb=inside_aabb
-        )
+            try:
+                rec = reconstruct_surface_global(
+                    particle_positions, parameters, grid,
+                    particle_inside_aabb=inside_aabb, grid_check=grid_check,
+                )
+            except GridPlanMiss:
+                _GRID_MISSED_WITH = _GRID_PLAN.pop(gkey, None)
+                # remember the missed grid: if the cold recompute produces
+                # the same grid, the domain straddles an alignment boundary
+                # and speculation would miss every frame — stop speculating
+                if _GRID_MISSED_WITH is not None:
+                    _PENDING_NOSPEC[gkey] = _GRID_MISSED_WITH
+                continue
+            if gkey is not None:
+                if _PENDING_NOSPEC.pop(gkey, None) == grid:
+                    _GRID_NOSPEC.add(gkey)
+                else:
+                    _GRID_PLAN[gkey] = grid
+        break
+    assert rec is not None
 
     # Trim count-padding dummies out of per-particle outputs.
     if n_padded > n_real:

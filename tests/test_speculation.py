@@ -69,6 +69,60 @@ def test_reconstruct_sequence_stays_correct(data_dir):
     assert max(counts) - min(counts) <= 4  # jitter-level variation only
 
 
+def test_grid_plan_reused_on_device_frames(data_dir):
+    # device-array frames: the second jittered frame must reuse the cached
+    # grid (same aligned grid) and produce the same mesh as a cold run
+    import jax
+    import jax.numpy as jnp
+
+    from splashsurf_tpu import reconstruction as rc
+
+    rc.clear_grid_plan()
+    pts, _ = particles_from_vtk(
+        f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+    )
+    pts = jnp.asarray(np.asarray(pts))
+    p = st.Parameters.new_relative(0.025, 4.0, 1.1)
+    rec1 = st.reconstruct_surface(pts, p)
+    assert len(rc._GRID_PLAN) == 1
+    rec2 = st.reconstruct_surface(pts + np.float32(1e-6), p)
+    assert rec2.grid == rec1.grid  # warm frame rode the cached grid
+    rc.clear_grid_plan()
+    nb.clear_density_plan()
+    rec_cold = st.reconstruct_surface(pts + np.float32(1e-6), p)
+    np.testing.assert_array_equal(
+        np.asarray(rec2.mesh.triangles), np.asarray(rec_cold.mesh.triangles)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec2.mesh.vertices),
+        np.asarray(rec_cold.mesh.vertices),
+        rtol=2e-5, atol=1e-6,
+    )
+    rc.clear_grid_plan()
+
+
+def test_grid_plan_jump_recovers(data_dir):
+    # a domain jump with device arrays must miss the grid plan and still
+    # produce a consistent mesh
+    import jax.numpy as jnp
+
+    from splashsurf_tpu.mesh import check_mesh_consistency
+    from splashsurf_tpu import reconstruction as rc
+
+    rc.clear_grid_plan()
+    pts, _ = particles_from_vtk(
+        f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+    )
+    pts = jnp.asarray(np.asarray(pts))
+    p = st.Parameters.new_relative(0.025, 4.0, 1.1)
+    rec1 = st.reconstruct_surface(pts, p)
+    shift = np.float32(91 * p.cube_size)
+    rec2 = st.reconstruct_surface(pts + shift, p)
+    assert abs(rec1.mesh.num_triangles - rec2.mesh.num_triangles) <= 8
+    assert check_mesh_consistency(rec2.mesh.vertices, rec2.mesh.triangles) is None
+    rc.clear_grid_plan()
+
+
 def test_domain_jump_recovers(data_dir):
     # a hard scene change (same N, shifted domain) must transparently
     # recompute, not produce garbage
