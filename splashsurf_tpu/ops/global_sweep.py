@@ -69,9 +69,13 @@ def rasterize_global(
     n = positions.shape[0]
     ncx, ncy, ncz = grid.n_cells
     pad = hsc + 1
-    Xp, Yp = ncx + 2 * pad, ncy + 2 * pad
-    # lane_align=128 for the Pallas sweep: Mosaic DMA memref views require
-    # the minor (lane) dimension to be tile-aligned
+    Xp = ncx + 2 * pad
+    # Mosaic DMA memref views require tile-aligned slices: the minor (lane)
+    # dim rounds to 128 and the second-minor (sublane) dim to 8 — an
+    # unaligned Yp compiles for SOME shapes but fails for others ("Slice
+    # shape along dimension 2 must be aligned to tiling (8), but is 191").
+    sub_align = 8 if lane_align > 1 else 1
+    Yp = -(-(ncy + 2 * pad) // sub_align) * sub_align
     Zp = -(-(ncz + 2 * pad) // lane_align) * lane_align
 
     cs = jnp.asarray(grid.cell_size, dtype)

@@ -45,6 +45,26 @@ class TestSplatEquivalence:
         )
         np.testing.assert_allclose(ls_pal, ls_scan, rtol=2e-5, atol=1e-5)
 
+    def test_raster_tile_alignment(self, rng):
+        # Mosaic DMA slices need 8-sublane / 128-lane alignment; a grid
+        # whose Yp = ncy + 2*(hsc+1) is not a multiple of 8 crashed the
+        # sweep kernel compile at 4M ("Slice shape along dimension 2 must
+        # be aligned to tiling (8), but is 191").
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        pts = rng.uniform(0.1, 0.9, (200, 3)).astype(np.float32)
+        vals = jnp_ones = np.ones((200,), np.float32)
+        support = 0.1
+        # ncy chosen so ncy + 2*(hsc+1) % 8 != 0 without alignment
+        grid = UniformGrid(min=(0.0, 0.0, 0.0), cell_size=0.0375,
+                           n_cells=(32, 27, 32))
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+        r = gs.rasterize_global(
+            pts, vals, grid, 2, hsc, 1024, lane_align=128
+        )
+        assert r[0].shape[2] % 8 == 0, r[0].shape
+        assert r[0].shape[3] % 128 == 0, r[0].shape
+
     def test_raster_matches_scatter(self, rng):
         pts = rng.uniform(0.1, 0.9, (1500, 3)).astype(np.float32)
         vals = rng.uniform(0.5, 2.0, (1500,)).astype(np.float32)
