@@ -45,14 +45,16 @@ def compute_densities(positions, parameters: Parameters):
     static_argnames=(
         "grid", "bgrid", "kind", "kslots", "u_cap", "ocap", "ccap",
         "csr", "hsc", "slots", "backend", "ofc", "vcap", "tcap",
-        "nv_b", "nc_b",
+        "nv_b", "nc_b", "has_n_valid",
     ),
 )
 def _warm_frame(
     positions,
     particle_rest_mass,
     iso,
+    n_valid,
     *,
+    has_n_valid: bool,
     grid,
     bgrid,
     kind: str,
@@ -82,6 +84,7 @@ def _warm_frame(
     rho, dcheck = neighbors._densities_planned(
         positions, csr, particle_rest_mass, bgrid,
         kind=kind, slots=kslots, u_cap=u_cap, ocap=ocap, ccap=ccap,
+        n_valid=n_valid, has_n_valid=has_n_valid,
     )
     values = particle_rest_mass / rho
     lane_align = 128 if backend.startswith("pallas") else 1
@@ -97,7 +100,9 @@ def _warm_frame(
     return packed + (total_v, total_t, total_c, r[8], dcheck, rho)
 
 
-def _try_warm_frame(positions, parameters: Parameters, grid, hsc, grid_check):
+def _try_warm_frame(
+    positions, parameters: Parameters, grid, hsc, grid_check, n_valid=None
+):
     """Run the single-dispatch warm frame if every plan is in place.
 
     Returns (verts, tris, rho) on success, None when any plan is missing or
@@ -117,7 +122,10 @@ def _try_warm_frame(positions, parameters: Parameters, grid, hsc, grid_check):
         return None
     csr = float(parameters.compact_support_radius)
     dtype = str(positions.dtype)
-    dkey = (int(positions.shape[0]), dtype, csr, None)
+    dkey = (
+        int(positions.shape[0]), dtype, csr, None,
+        None if n_valid is None else int(n_valid),
+    )
     dplan = neighbors._DENSITY_PLAN.get(dkey)
     key = (grid.n_points, dtype)
     caps = gs._MC_CAPS.get(key)
@@ -132,10 +140,16 @@ def _try_warm_frame(positions, parameters: Parameters, grid, hsc, grid_check):
     ofc = gs._pow2(int(positions.shape[0]) // 64, lo=4096)
 
     with profile("warm frame dispatch"):
+        nvj = jnp.asarray(
+            positions.shape[0] if n_valid is None else n_valid, jnp.int32
+        )
         out = _warm_frame(
             positions,
             jnp.asarray(parameters.particle_rest_mass, positions.dtype),
             jnp.asarray(parameters.iso_surface_threshold, positions.dtype),
+            nvj,
+            has_n_valid=n_valid is not None
+            and n_valid < positions.shape[0],
             grid=grid, bgrid=dplan["grid"], kind=dplan["kind"],
             kslots=dplan["slots"], u_cap=dplan["u_cap"],
             ocap=dplan["ocap"], ccap=dplan["ccap"], csr=csr, hsc=hsc,
@@ -190,6 +204,7 @@ def reconstruct_surface_global(
     grid: UniformGrid,
     particle_inside_aabb: Optional[np.ndarray] = None,
     grid_check=None,
+    n_valid: Optional[int] = None,
 ) -> SurfaceReconstruction:
     from splashsurf_tpu.ops.global_sweep import (
         SpeculationMiss,
@@ -204,7 +219,9 @@ def reconstruct_surface_global(
     ).half_supported_cells
     SPECULATION_STATS["frames"] += 1
 
-    warm = _try_warm_frame(positions, parameters, grid, hsc, grid_check)
+    warm = _try_warm_frame(
+        positions, parameters, grid, hsc, grid_check, n_valid
+    )
     if warm is not None:
         verts, tris, rho = warm
         mesh = TriMesh3d(vertices=verts, triangles=tris)
@@ -226,6 +243,9 @@ def reconstruct_surface_global(
     # speculative plans; their validity flags are pulled together with the
     # final mesh totals. A density miss recomputes the frame here; a grid
     # miss propagates to reconstruct_surface, which re-derives the grid.
+    import os
+
+    sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
     for _attempt in range(2):
         with profile("compute particle densities"):
             rho, check = neighbors.compute_particle_densities(
@@ -233,7 +253,10 @@ def reconstruct_surface_global(
                 parameters.compact_support_radius,
                 parameters.particle_rest_mass,
                 speculate=True,
+                n_valid=n_valid,
             )
+            if sync:
+                jax.block_until_ready(rho)
         values = jnp.asarray(parameters.particle_rest_mass, rho.dtype) / rho
         checks = []
         labels = []

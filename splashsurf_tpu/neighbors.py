@@ -80,8 +80,20 @@ _STENCIL = np.array(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def build_cell_list(positions, grid: BinGrid) -> CellList:
+@functools.partial(jax.jit, static_argnames=("grid", "has_n_valid"))
+def build_cell_list(
+    positions, grid: BinGrid, n_valid=None, has_n_valid: bool = False
+) -> CellList:
+    """Sort particles by flat bin id.
+
+    With ``n_valid`` (a traced scalar; pass ``has_n_valid=True``), particles
+    at index >= n_valid are count-padding dummies: they get the INT32_MAX
+    sentinel bin, sort to the end, and are excluded from every density/
+    neighbor structure — crucially they do NOT shift the lattice phase or
+    the occupancy statistics (a dummy-extended lattice once re-phased bin
+    boundaries onto the fluid's 2r lattice columns and pushed 6% of
+    particles through the overflow path).
+    """
     positions = jnp.asarray(positions)
     # per-component flat math: ops on a big (N, 3) pad the minor dim to 128
     # TPU lanes, so each component is pulled out once up front
@@ -96,6 +108,13 @@ def build_cell_list(positions, grid: BinGrid) -> CellList:
             jnp.floor((cols[d] - mn) / bs).astype(jnp.int32), 0, dims[d] - 1
         )
         bins = bins + c * strides[d]
+    if has_n_valid:
+        n = positions.shape[0]
+        bins = jnp.where(
+            jnp.arange(n, dtype=jnp.int32) < jnp.asarray(n_valid, jnp.int32),
+            bins,
+            _INT32_MAX,
+        )
     order = jnp.argsort(bins).astype(jnp.int32)
     sorted_bins = bins[order]
     return CellList(
@@ -113,13 +132,19 @@ def max_bin_occupancy(cell_list: CellList) -> int:
 
 @jax.jit
 def _bin_stats_device(sb):
+    valid = sb != _INT32_MAX  # sentinel run (count-padding dummies) excluded
     change = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
     seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
-    counts = jnp.zeros(sb.shape[0], jnp.int32).at[seg_id].add(1)
+    counts = (
+        jnp.zeros(sb.shape[0], jnp.int32)
+        .at[jnp.where(valid, seg_id, sb.shape[0])]
+        .add(1, mode="drop")
+    )
     # particles whose within-bin rank is >= 8 (size of the overflow set for
     # the K=8 fast density path)
     over8 = jnp.sum(jnp.maximum(counts - 8, 0))
-    return jnp.max(counts), seg_id[-1] + 1, over8
+    n_occupied = seg_id[-1] + 1 - jnp.any(~valid).astype(jnp.int32)
+    return jnp.max(counts), n_occupied, over8
 
 
 def bin_stats(cell_list: CellList):
@@ -134,10 +159,14 @@ def bin_stats_ex(cell_list: CellList):
     return int(mx), int(u), int(o8)
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _build_cell_list_with_stats(positions, grid: BinGrid):
+@functools.partial(jax.jit, static_argnames=("grid", "has_n_valid"))
+def _build_cell_list_with_stats(
+    positions, grid: BinGrid, n_valid=None, has_n_valid: bool = False
+):
     """Cell list + occupancy stats in one dispatch (one host round trip)."""
-    cl = build_cell_list(positions, grid)
+    cl = build_cell_list(
+        positions, grid, n_valid=n_valid, has_n_valid=has_n_valid
+    )
     return cl, _bin_stats_device(cl.sorted_bins)
 
 
@@ -403,8 +432,11 @@ def compute_particle_densities_binned(
         .set(sb, mode="drop", unique_indices=True)
     )
 
-    # bin tables: positions per (bin rank, slot); dummy = +inf -> W == 0
-    dest = jnp.where(slot < K, bin_rank * K + slot, u_cap * K)
+    # bin tables: positions per (bin rank, slot); dummy = +inf -> W == 0.
+    # The sentinel run (count-padding dummies) is excluded: its occ_bins
+    # entry is INT32_MAX, unreachable from any stencil target.
+    table_ok = (slot < K) & (sb != _INT32_MAX)
+    dest = jnp.where(table_ok, bin_rank * K + slot, u_cap * K)
     tables = []
     for d in range(3):
         tables.append(
@@ -466,9 +498,9 @@ def compute_particle_densities_binned(
     )
 
     # read back per particle (sorted order), then undo the sort
-    dest_t = jnp.where(slot < K, slot * u_cap + bin_rank, u_cap * K)
+    dest_t = jnp.where(table_ok, slot * u_cap + bin_rank, u_cap * K)
     rho_sorted = acc.reshape(-1)[jnp.clip(dest_t, 0, u_cap * K - 1)]
-    rho_sorted = jnp.where(slot < K, rho_sorted, 0.0)
+    rho_sorted = jnp.where(table_ok, rho_sorted, 0.0)
     rho = (
         jnp.zeros((n,), dtype)
         .at[cell_list.order]
@@ -615,6 +647,7 @@ def compute_particle_densities_raster(
     n = p.shape[0]
     LX, LY, LZ = grid.dims
     sb = cell_list.sorted_bins
+    valid = sb != _INT32_MAX  # count-padding dummies carry the sentinel bin
 
     # within-bin ranks in sorted order
     is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
@@ -629,10 +662,11 @@ def compute_particle_densities_raster(
 
     # rasterize bin fractions, padded by one bin on every side
     Xp, Yp, Zp = LX + 2, LY + 2, LZ + 2
-    bx = sb // (LY * LZ)
-    by = (sb // LZ) % LY
-    bz = sb % LZ
-    ok = slot < slots
+    sbc = jnp.where(valid, sb, 0)
+    bx = sbc // (LY * LZ)
+    by = (sbc // LZ) % LY
+    bz = sbc % LZ
+    ok = (slot < slots) & valid
     total = slots * Xp * Yp * Zp
     dest = jnp.where(
         ok,
@@ -771,17 +805,27 @@ def clear_density_plan():
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "kind", "slots", "u_cap", "ocap", "ccap"),
+    static_argnames=(
+        "grid", "kind", "slots", "u_cap", "ocap", "ccap", "has_n_valid"
+    ),
 )
 def _plan_check(
     positions, sb, grid: BinGrid, kind: str, slots: int, u_cap: int,
-    ocap: int, ccap: int = 0,
+    ocap: int, ccap: int = 0, n_valid=None, has_n_valid: bool = False,
 ):
     """Device-side validity of a speculative plan: positions inside the
     lattice (no bin clipping) and capacities still sufficient."""
     p = jnp.asarray(positions)
-    lo = jnp.min(p, axis=0)
-    hi = jnp.max(p, axis=0)
+    if has_n_valid:
+        m = (
+            jnp.arange(p.shape[0], dtype=jnp.int32)
+            < jnp.asarray(n_valid, jnp.int32)
+        )[:, None]
+        lo = jnp.min(jnp.where(m, p, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(m, p, -jnp.inf), axis=0)
+    else:
+        lo = jnp.min(p, axis=0)
+        hi = jnp.max(p, axis=0)
     gmin = jnp.asarray(grid.min, p.dtype)
     gmax = gmin + jnp.asarray(grid.dims, p.dtype) * jnp.asarray(
         grid.bin_size, p.dtype
@@ -803,7 +847,9 @@ def _plan_check(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "kind", "slots", "u_cap", "ocap", "ccap"),
+    static_argnames=(
+        "grid", "kind", "slots", "u_cap", "ocap", "ccap", "has_n_valid"
+    ),
 )
 def _densities_planned(
     positions,
@@ -815,13 +861,18 @@ def _densities_planned(
     u_cap: int,
     ocap: int,
     ccap: int,
+    n_valid=None,
+    has_n_valid: bool = False,
 ):
     """Speculative-hit density frame in ONE dispatch: cell list + plan
     validity + densities, sharing the sort and segment passes."""
-    cl = build_cell_list(positions, grid)
+    cl = build_cell_list(
+        positions, grid, n_valid=n_valid, has_n_valid=has_n_valid
+    )
     check = _plan_check(
         positions, cl.sorted_bins, grid,
         kind=kind, slots=slots, u_cap=u_cap, ocap=ocap, ccap=ccap,
+        n_valid=n_valid, has_n_valid=has_n_valid,
     )
     if kind == "raster":
         rho = compute_particle_densities_raster(
@@ -844,6 +895,7 @@ def compute_particle_densities(
     particle_rest_mass: float,
     capacity: int | None = None,
     speculate: bool = False,
+    n_valid: int | None = None,
 ):
     """Convenience wrapper: builds the binning and picks capacities on host.
 
@@ -858,20 +910,40 @@ def compute_particle_densities(
         str(positions.dtype),
         float(compact_support_radius),
         None if capacity is None else int(capacity),
+        None if n_valid is None else int(n_valid),
     )
+    has_nv = n_valid is not None and n_valid < positions.shape[0]
+    nv = jnp.asarray(0 if n_valid is None else n_valid, jnp.int32)
     plan = _DENSITY_PLAN.get(key) if speculate else None
     if plan is not None:
         return _densities_planned(
             positions, compact_support_radius, particle_rest_mass,
             plan["grid"], kind=plan["kind"], slots=plan["slots"],
             u_cap=plan["u_cap"], ocap=plan["ocap"], ccap=plan["ccap"],
+            n_valid=nv, has_n_valid=has_nv,
         )
 
-    mn, mx = jax.device_get(
-        (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
-    )
+    if has_nv:
+        # count-padding dummies must not shape the lattice (a dummy-shifted
+        # origin once re-phased bins onto the fluid's 2r columns at 8M and
+        # pushed 6% of particles through the overflow path)
+        m = (
+            jnp.arange(positions.shape[0], dtype=jnp.int32) < nv
+        )[:, None]
+        mn, mx = jax.device_get(
+            (
+                jnp.min(jnp.where(m, positions, jnp.inf), axis=0),
+                jnp.max(jnp.where(m, positions, -jnp.inf), axis=0),
+            )
+        )
+    else:
+        mn, mx = jax.device_get(
+            (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
+        )
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
-    cl, stats = _build_cell_list_with_stats(positions, grid)
+    cl, stats = _build_cell_list_with_stats(
+        positions, grid, n_valid=nv, has_n_valid=has_nv
+    )
     max_occ, n_bins, over8 = (int(x) for x in jax.device_get(stats))
     n = positions.shape[0]
     u_cap = 1 << max(int(n_bins) - 1, 1).bit_length()

@@ -539,7 +539,19 @@ def reconstruct_global_dense(
     ``positions``/``values`` may include out-of-grid padding dummies (they
     are dropped by the rasterizer).
     """
+    import os
+
     from splashsurf_tpu.profiling import profile
+
+    # SPLASHSURF_TPU_SYNC_PROFILE=1: block after each stage so profile
+    # scopes show real device walls (costs ~28 ms/output array over the
+    # tunnel; only for diagnosis)
+    sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
+
+    def _sync(x):
+        if sync:
+            jax.block_until_ready(x)
+        return x
 
     positions = jnp.asarray(positions)
     n = positions.shape[0]
@@ -549,15 +561,15 @@ def reconstruct_global_dense(
     lane_align = 128 if backend.startswith("pallas") else 1
 
     with profile("rasterize"):
-        fx, fy, fz, fv, opx, opy, opz, oval, n_over = rasterize_global(
+        fx, fy, fz, fv, opx, opy, opz, oval, n_over = _sync(rasterize_global(
             positions, values, grid, slots, hsc, overflow_capacity,
             lane_align=lane_align,
-        )
+        ))
     with profile("levelset sweep"):
-        ls = sweep_global(
+        ls = _sync(sweep_global(
             fx, fy, fz, fv, opx, opy, opz, oval, grid,
             float(compact_support_radius), hsc, backend,
-        )
+        ))
     del fx, fy, fz, fv
 
     key = (grid.n_points, str(ls.dtype))
@@ -576,7 +588,9 @@ def reconstruct_global_dense(
     while True:
         vcap, tcap = caps
         with profile("marching cubes"):
-            out = mc_global_packed(ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap)
+            out = _sync(
+                mc_global_packed(ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap)
+            )
         with profile("pull mesh"):
             plan = _PULL_PLAN.get(key)
             if plan is not None and plan[0] <= vcap and plan[1] <= tcap:

@@ -286,6 +286,7 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
             rec = reconstruct_surface_subdomain_grid(
                 particle_positions, parameters, grid,
                 particle_inside_aabb=inside_aabb,
+                n_valid=n_real if n_padded > n_real else None,
             )
         else:
             if grid.total_cells > 128_000_000:
@@ -300,6 +301,7 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
                 rec = reconstruct_surface_global(
                     particle_positions, parameters, grid,
                     particle_inside_aabb=inside_aabb, grid_check=grid_check,
+                    n_valid=n_real if n_padded > n_real else None,
                 )
             except GridPlanMiss:
                 _GRID_MISSED_WITH = _GRID_PLAN.pop(gkey, None)

@@ -766,6 +766,7 @@ def reconstruct_surface_subdomain_grid(
     chunk_size: int = 32,
     raster_threshold: Optional[int] = None,
     sharded: Optional[bool] = None,
+    n_valid: Optional[int] = None,
 ) -> SurfaceReconstruction:
     """Subdomain-grid reconstruction; distributes the subdomain batch over
     all available devices via shard_map when more than one is present
@@ -794,7 +795,8 @@ def reconstruct_surface_subdomain_grid(
     # 1. global per-particle densities
     with profile("compute particle densities"):
         rho = neighbors.compute_particle_densities(
-            positions, support, parameters.particle_rest_mass
+            positions, support, parameters.particle_rest_mass,
+            n_valid=n_valid,
         )
         if _PROFILE_SYNC:
             rho.block_until_ready()

@@ -172,6 +172,34 @@ class TestDensities:
         )
         np.testing.assert_allclose(r_pal, r_xla, rtol=1e-5)
 
+    def test_n_valid_masks_count_padding_dummies(self):
+        # Count-padding dummies must not affect real densities, the bin
+        # lattice, or the occupancy stats (an off-grid dummy block once
+        # re-phased the lattice onto the fluid's 2r columns at 8M and sent
+        # 6% of particles through the overflow path).
+        rng = np.random.default_rng(3)
+        h, mass = 0.15, 0.5
+        pts = rng.uniform(0.0, 1.0, size=(300, 3)).astype(np.float32)
+        dummies = (
+            np.array([-5.0, 0.0, 0.0], np.float32)
+            + rng.uniform(0, 0.5, size=(212, 3)).astype(np.float32)
+        )
+        padded = np.concatenate([pts, dummies])
+        rho_ref = np.asarray(compute_particle_densities(pts, h, mass))
+        rho_pad = np.asarray(
+            compute_particle_densities(padded, h, mass, n_valid=len(pts))
+        )
+        np.testing.assert_allclose(rho_pad[: len(pts)], rho_ref, rtol=1e-6)
+        # stats must see ONLY the real particles
+        grid = BinGrid.for_domain(pts.min(axis=0), pts.max(axis=0), h)
+        cl = build_cell_list(
+            padded, grid, n_valid=len(pts), has_n_valid=True
+        )
+        mx_p, u_p = neighbors.bin_stats(cl)
+        cl_ref = build_cell_list(pts, grid)
+        mx_r, u_r = neighbors.bin_stats(cl_ref)
+        assert (mx_p, u_p) == (mx_r, u_r)
+
     def test_uniform_block_density_near_rest(self):
         # Particles on a 2r lattice with support 4r approximate rest density
         # in the bulk (the standard SPH sanity check).
