@@ -946,10 +946,31 @@ def compute_particle_densities(
     )
     max_occ, n_bins, over8 = (int(x) for x in jax.device_get(stats))
     n = positions.shape[0]
+    over_budget = max(4096, n // 128)
+
+    if over8 > over_budget and capacity is None:
+        # Lattice-phase landmine: a fluid resting on a 2r lattice (half the
+        # bin size) tie-breaks onto bin boundaries for unlucky origins —
+        # occupancy jumps from 8 to 12+ per bin and the fast K=8 paths
+        # collapse to K=max_occ pair blocks. Retry once with the origin
+        # shifted by half a bin; keep whichever phase overflows less.
+        half = compact_support_radius / 2.0
+        grid2 = BinGrid(
+            min=tuple(m - half for m in grid.min),
+            bin_size=grid.bin_size,
+            dims=tuple(d + 1 for d in grid.dims),
+        )
+        cl2, stats2 = _build_cell_list_with_stats(
+            positions, grid2, n_valid=nv, has_n_valid=has_nv
+        )
+        mx2, nb2, o82 = (int(x) for x in jax.device_get(stats2))
+        if o82 < over8:
+            grid, cl = grid2, cl2
+            max_occ, n_bins, over8 = mx2, nb2, o82
+
     u_cap = 1 << max(int(n_bins) - 1, 1).bit_length()
     overflow_capacity = 0
     candidate_capacity = 0
-    over_budget = max(4096, n // 128)
 
     # Dense bin lattices (the common dense-fluid case) take the raster-sweep
     # formulation: shifted windows instead of per-offset row gathers.

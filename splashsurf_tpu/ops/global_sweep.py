@@ -621,6 +621,9 @@ def reconstruct_global_dense(
                     f"{overflow_capacity}; increase slots"
                 )
             if total_v > vcap or total_t > tcap:
+                from splashsurf_tpu.global_pipeline import SPECULATION_STATS
+
+                SPECULATION_STATS["caps_retry"] += 1
                 caps = (_bucket16(total_v * 5 // 4), _bucket16(total_t * 5 // 4))
                 _MC_CAPS[key] = caps
                 _PULL_PLAN.pop(key, None)

@@ -200,6 +200,30 @@ class TestDensities:
         mx_r, u_r = neighbors.bin_stats(cl_ref)
         assert (mx_p, u_p) == (mx_r, u_r)
 
+    def test_phase_aligned_lattice_stays_correct(self):
+        # A fluid EXACTLY on a 2r lattice whose columns coincide with bin
+        # boundaries (the worst-case phase): the origin-retry should avoid
+        # the occupancy blowup, and densities must match the direct sum
+        # regardless of which path runs.
+        from splashsurf_tpu import kernels
+
+        r = 0.05
+        h = 4 * r  # bin size = h = 8r -> particle spacing 2r = bin/4
+        nside = 12
+        # place columns so that BinGrid.for_domain's origin (min - h) puts
+        # boundaries exactly on particle columns: positions at k * (h/4)
+        coords = np.arange(nside, dtype=np.float64) * (h / 4.0)
+        X, Y, Z = np.meshgrid(coords, coords, coords, indexing="ij")
+        pts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+        rng = np.random.default_rng(5)
+        pts += (rng.uniform(-0.01, 0.01, pts.shape) * r).astype(np.float32)
+        mass = 0.7
+        rho = np.asarray(compute_particle_densities(pts, h, mass))
+        p = pts.astype(np.float64)
+        d = np.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+        w = np.asarray(kernels.cubic_kernel(jnp.asarray(d), h))
+        np.testing.assert_allclose(rho, mass * w.sum(axis=1), rtol=2e-4)
+
     def test_uniform_block_density_near_rest(self):
         # Particles on a 2r lattice with support 4r approximate rest density
         # in the bulk (the standard SPH sanity check).
