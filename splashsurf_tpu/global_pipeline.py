@@ -129,7 +129,10 @@ def _try_warm_frame(
     dplan = neighbors._DENSITY_PLAN.get(dkey)
     key = (grid.n_points, dtype)
     caps = gs._MC_CAPS.get(key)
-    pull_plan = gs._PULL_PLAN.get(key)
+    # Encoded-transfer buckets are (vertex, active-CELL) counts; bootstrap
+    # from the default path's (vertex, triangle) plan — cells <= triangles,
+    # so the triangle bucket is a safe initial cell bucket.
+    pull_plan = gs._PULL_PLAN_ENC.get(key) or gs._PULL_PLAN.get(key)
     if dplan is None or caps is None or pull_plan is None:
         return None
     vcap, tcap = caps
@@ -181,14 +184,15 @@ def _try_warm_frame(
             gs._bucket16(total_v * 5 // 4), gs._bucket16(total_t * 5 // 4)
         )
         gs._PULL_PLAN.pop(key, None)
+        gs._PULL_PLAN_ENC.pop(key, None)
         return None
     if total_v > nv_b or total_c > nc_b:
         # transfer-bucket miss: record the larger buckets and fall back
-        gs._PULL_PLAN[key] = (
+        gs._PULL_PLAN_ENC[key] = (
             min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
         )
         return None
-    gs._PULL_PLAN[key] = (
+    gs._PULL_PLAN_ENC[key] = (
         min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
     )
     with profile("decode mesh"):
@@ -288,6 +292,12 @@ def reconstruct_surface_global(
                 raise GridPlanMiss(str(e)) from e
             SPECULATION_STATS["density_miss"] += 1
             neighbors.clear_density_plan()
+    else:
+        raise RuntimeError(
+            "speculative density plan missed twice in a row — the retry "
+            "frame should always plan from scratch; this indicates a "
+            "plan-invalidation bug"
+        )
     mesh = TriMesh3d(vertices=verts, triangles=tris)
 
     particle_neighbors = None

@@ -85,18 +85,31 @@ class TriMesh3d:
         )
 
     def par_clamp_with_aabb(
-        self, aabb, clamp_vertices: bool = True, keep_triangles: bool = False
+        self, aabb, clamp_vertices: bool = True, keep_vertices: bool = False
     ) -> "TriMesh3d":
-        """Remove (or clamp) geometry outside an AABB (mesh.rs:334)."""
+        """Remove cells fully outside the AABB, then clamp survivors (mesh.rs:333-371).
+
+        Keeps every triangle with at least one vertex inside the AABB; drops
+        unreferenced vertices unless ``keep_vertices``; when ``clamp_vertices``
+        the surviving vertex positions are clamped into the AABB."""
         verts = np.asarray(self.vertices)
-        inside = np.all(
-            (verts >= np.asarray(aabb.min, dtype=verts.dtype))
-            & (verts <= np.asarray(aabb.max, dtype=verts.dtype)),
-            axis=1,
-        )
-        if keep_triangles:
-            return self
-        return self.keep_vertices(inside)
+        lo = np.asarray(aabb.min, dtype=verts.dtype)
+        hi = np.asarray(aabb.max, dtype=verts.dtype)
+        inside = np.all((verts >= lo) & (verts <= hi), axis=1)
+        tris = np.asarray(self.triangles)
+        cells_to_keep = np.flatnonzero(inside[tris].any(axis=1))
+        if keep_vertices:
+            new = TriMesh3d(
+                vertices=verts.copy(), triangles=tris[cells_to_keep].astype(np.int32)
+            )
+        else:
+            new = self.keep_cells(cells_to_keep)
+        if clamp_vertices:
+            new = TriMesh3d(
+                vertices=np.clip(np.asarray(new.vertices), lo, hi),
+                triangles=new.triangles,
+            )
+        return new
 
 
 @dataclasses.dataclass
@@ -196,22 +209,35 @@ class MeshWithData:
         )
 
     def par_clamp_with_aabb(
-        self, aabb, clamp_vertices: bool = False
+        self, aabb, clamp_vertices: bool = True, keep_vertices: bool = False
     ) -> "MeshWithData":
-        """Remove (or clamp) geometry outside an AABB, attributes included
-        (mesh.rs:334 + MeshWithData remapping)."""
+        """Remove cells fully outside the AABB, clamp survivors, and remap
+        attributes through the surviving cell/vertex maps (mesh.rs:333-371 +
+        MeshWithData remapping). Defaults match ``TriMesh3d``."""
         mesh = self._require_tri()
         verts = np.asarray(mesh.vertices)
         lo = np.asarray(aabb.min, dtype=verts.dtype)
         hi = np.asarray(aabb.max, dtype=verts.dtype)
-        if clamp_vertices:
-            return MeshWithData(
-                mesh=TriMesh3d(np.clip(verts, lo, hi), mesh.triangles),
-                point_attributes=self.point_attributes,
-                cell_attributes=self.cell_attributes,
-            )
         inside = np.all((verts >= lo) & (verts <= hi), axis=1)
-        return self.keep_vertices(inside)
+        tris = np.asarray(mesh.triangles)
+        cells_to_keep = np.flatnonzero(inside[tris].any(axis=1))
+        if keep_vertices:
+            out = MeshWithData(
+                mesh=TriMesh3d(
+                    vertices=verts.copy(),
+                    triangles=tris[cells_to_keep].astype(np.int32),
+                ),
+                point_attributes=self.point_attributes,
+                cell_attributes=[
+                    MeshAttribute(a.name, np.asarray(a.data)[cells_to_keep])
+                    for a in self.cell_attributes
+                ],
+            )
+        else:
+            out = self.keep_cells(cells_to_keep)
+        if clamp_vertices:
+            out.mesh.vertices = np.clip(np.asarray(out.mesh.vertices), lo, hi)
+        return out
 
     def remap_through_vertex_map(
         self, new_mesh: "TriMesh3d", vertex_map
@@ -461,6 +487,14 @@ def _nonmanifold_vertices(tris: np.ndarray, num_vertices: int) -> int:
     found = ks[pos_c] == key_dst
     bad[V[~found]] = True  # a target that is never a source: open/torn fan
     nxt = np.where(found, order[pos_c], np.arange(len(V)))
+
+    # every link slot must also be ENTERED exactly once (in-degree == 1) —
+    # without this a rho-shaped link (duplicate link target, e.g. an
+    # orientation-flipped triangle pair) escapes when the tail slot's index
+    # exceeds the cycle minimum (the multiset half of the old check)
+    indeg = np.zeros(len(V), np.int64)
+    np.add.at(indeg, nxt[found], 1)
+    bad[V[indeg != 1]] = True
 
     # pointer-doubling min-propagation: rep[i] = min slot in i's cycle
     rep = np.arange(len(V))

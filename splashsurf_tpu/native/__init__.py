@@ -35,6 +35,18 @@ def _build() -> bool:
         return False
 
 
+def _warn_fallback(reason: str) -> None:
+    import warnings
+
+    warnings.warn(
+        "splashsurf_tpu native half-edge engine unavailable "
+        f"({reason}); falling back to the pure-Python implementation — "
+        "mesh cleanup/decimation will be MUCH slower on large meshes",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def load():
     """Load (building on first use) the native library, or None."""
     global _lib, _tried
@@ -44,10 +56,12 @@ def load():
         _tried = True
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             if not _build():
+                _warn_fallback("g++ build failed or no compiler available")
                 return None
         try:
             lib = ctypes.CDLL(_LIB)
-        except OSError:
+        except OSError as e:
+            _warn_fallback(f"could not load {_LIB}: {e}")
             return None
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")

@@ -425,6 +425,11 @@ _MC_CAPS: dict = {}
 # device_get — no totals round trip before the transfer starts.
 _PULL_PLAN: dict = {}
 
+# Same idea for the mono-frame ENCODED transfer (global_pipeline._try_warm_frame),
+# whose second bucket is an active-CELL count, not a triangle count — a separate
+# dict so the two bucket semantics never alias each other's plans.
+_PULL_PLAN_ENC: dict = {}
+
 
 class SpeculationMiss(RuntimeError):
     """One of the caller's deferred speculative checks pulled False.

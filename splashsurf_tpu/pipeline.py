@@ -209,22 +209,18 @@ def reconstruction_pipeline(
                     )
                 point_attributes.append(MeshAttribute(name, out))
 
-    # Mesh AABB clamp/filter.
+    # Mesh AABB clamp/filter (reconstruct.rs:1395-1408 → mesh.rs:333-371):
+    # drop cells fully outside the AABB, then clamp survivors if requested.
     if postprocessing.mesh_aabb is not None:
         with profile("mesh AABB clamp"):
-            verts = mesh.vertices
-            lo = np.asarray(postprocessing.mesh_aabb.min, verts.dtype)
-            hi = np.asarray(postprocessing.mesh_aabb.max, verts.dtype)
-            if postprocessing.mesh_aabb_clamp_vertices:
-                mesh.vertices = np.clip(verts, lo, hi)
-            else:
-                keep = np.all((verts >= lo) & (verts <= hi), axis=1)
-                old_index = np.nonzero(keep)[0]
-                mesh = mesh.keep_vertices(keep)
-                point_attributes = [
-                    MeshAttribute(a.name, np.asarray(a.data)[old_index])
-                    for a in point_attributes
-                ]
+            clamped = MeshWithData(
+                mesh=mesh, point_attributes=point_attributes
+            ).par_clamp_with_aabb(
+                postprocessing.mesh_aabb,
+                clamp_vertices=postprocessing.mesh_aabb_clamp_vertices,
+            )
+            mesh = clamped.mesh
+            point_attributes = clamped.point_attributes
 
     # Consistency checks.
     if (

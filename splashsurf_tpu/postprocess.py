@@ -496,78 +496,106 @@ def convert_tris_to_quads(
             vertices=mesh.vertices, triangles=mesh.triangles, quads=np.zeros((0, 4), np.int32)
         )
 
-    n = face_normals(verts, tris)
-    n = np.asarray(n)
+    # host numpy normals: this whole pass is host-side and shipping a
+    # multi-M-tri mesh through jnp costs a device round trip for nothing
+    a, b, c = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    n = np.cross(b - a, c - a)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
 
-    # unique shared edges -> triangle pairs
+    # unique shared edges -> triangle pairs; edges are packed into one int64
+    # key (a 2-column lexsort measured 5s at canyon scale on a slow host)
     e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
-    e_sorted = np.sort(e, axis=1)
+    nv = len(verts)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    key = lo * nv + hi
     tri_ids = np.tile(np.arange(nt), 3)
-    order = np.lexsort((e_sorted[:, 1], e_sorted[:, 0]))
-    es, ts = e_sorted[order], tri_ids[order]
-    same = (es[1:] == es[:-1]).all(axis=1)
+    order = np.argsort(key, kind="stable")
+    ks, ts = key[order], tri_ids[order]
+    same = ks[1:] == ks[:-1]
     pair_i = ts[:-1][same]
     pair_j = ts[1:][same]
-    shared = es[:-1][same]  # (P, 2) the shared edge (sorted vertex pair)
+    so = order[:-1][same]
+    shared = np.stack([lo[so], hi[so]], axis=1)  # (P, 2) sorted vertex pair
 
     min_dot = np.cos(normal_angle_limit_rad)
     sqrt2 = np.sqrt(2.0)
 
-    def build_quad(ti, tj):
-        tri_i, tri_j = tris[ti], tris[tj]
-        missing = next(v for v in tri_j if v not in tri_i)
-        q = [tri_i[0], 0, 0, 0]
-        if tri_i[0] in tri_j:
-            if tri_i[1] in tri_j:
-                q[1:] = [missing, tri_i[1], tri_i[2]]
-            else:
-                q[1:] = [tri_i[1], tri_i[2], missing]
-        elif tri_i[1] in tri_j:
-            q[1:] = [tri_i[1], missing, tri_i[2]]
-        return np.array(q, dtype=np.int64)
-
-    def interior_angle(vc, vp, vn, vo):
-        dp, dm, dn = vp - vc, vo - vc, vn - vc
-        lp, lm, ln = np.linalg.norm(dp), np.linalg.norm(dm), np.linalg.norm(dn)
-        a1 = np.arccos(np.clip(dp @ dm / (lp * lm), -1, 1))
-        a2 = np.arccos(np.clip(dm @ dn / (lm * ln), -1, 1))
-        return a1 + a2
-
-    candidates = []
+    # normal-alignment prefilter
     dots = np.einsum("ij,ij->i", n[pair_i], n[pair_j])
-    for idx in np.nonzero(dots >= min_dot)[0]:
-        ti, tj = int(pair_i[idx]), int(pair_j[idx])
-        q = build_quad(ti, tj)
-        v0, v1, v2, v3 = verts[q]
-        diag = np.linalg.norm(verts[shared[idx][0]] - verts[shared[idx][1]])
+    keep = dots >= min_dot
+    pi, pj, sh = pair_i[keep], pair_j[keep], shared[keep]
+    P = len(pi)
+    if P:
+        # vectorized quad construction: the missing vertex of tri_j is its
+        # vertex sum minus the shared edge; the insertion slot follows which
+        # of tri_i's first two vertices lie on the shared edge
+        ti3, tj3 = tris[pi], tris[pj]
+        missing = tj3.sum(axis=1) - sh[:, 0] - sh[:, 1]
+        on_edge = lambda col: (col == sh[:, 0]) | (col == sh[:, 1])
+        in0, in1 = on_edge(ti3[:, 0]), on_edge(ti3[:, 1])
+        t0, t1, t2 = ti3[:, 0], ti3[:, 1], ti3[:, 2]
+        q = np.empty((P, 4), np.int64)
+        q[:, 0] = t0
+        q[:, 1] = np.where(in0 & in1, missing, t1)
+        q[:, 2] = np.where(in0 & in1, t1, np.where(in0, t2, missing))
+        q[:, 3] = np.where(in0 & ~in1, missing, t2)
+
+        V = verts[q]  # (P, 4, 3)
+        diag = np.linalg.norm(verts[sh[:, 0]] - verts[sh[:, 1]], axis=1)
         max_len = diag / sqrt2 * non_squareness_limit
         min_len = diag / sqrt2 / non_squareness_limit
-        edges = [v1 - v0, v2 - v1, v3 - v2, v0 - v3]
-        lens = [np.linalg.norm(d) for d in edges]
-        if not all(min_len <= l <= max_len for l in lens):
-            continue
-        angles = [
-            interior_angle(v0, v3, v1, v2),
-            interior_angle(v1, v0, v2, v3),
-            interior_angle(v2, v3, v1, v0),
-            interior_angle(v3, v2, v0, v1),
-        ]
-        if not all(a <= max_interior_angle_rad for a in angles):
-            continue
-        quality = min(lens) / max(lens)
-        candidates.append((ti, tj, q, quality))
+        edges = V[:, [1, 2, 3, 0]] - V  # (P, 4, 3)
+        lens = np.linalg.norm(edges, axis=2)  # (P, 4)
+        ok = ((lens >= min_len[:, None]) & (lens <= max_len[:, None])).all(axis=1)
 
-    removed = set()
-    quads = []
-    for ti, tj, q, _quality in candidates:
-        if ti in removed or tj in removed:
-            continue
-        removed.update((ti, tj))
-        quads.append(q)
+        # interior angles, split by the diagonal to the opposite corner:
+        # corner specs (c, prev, next, opposite) matching postprocessing.rs
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c, p, nn, o in ((0, 3, 1, 2), (1, 0, 2, 3), (2, 3, 1, 0), (3, 2, 0, 1)):
+                dp = V[:, p] - V[:, c]
+                dm = V[:, o] - V[:, c]
+                dn = V[:, nn] - V[:, c]
+                lp = np.linalg.norm(dp, axis=1)
+                lm = np.linalg.norm(dm, axis=1)
+                ln = np.linalg.norm(dn, axis=1)
+                a1 = np.arccos(
+                    np.clip(np.einsum("ij,ij->i", dp, dm) / (lp * lm), -1, 1)
+                )
+                a2 = np.arccos(
+                    np.clip(np.einsum("ij,ij->i", dm, dn) / (lm * ln), -1, 1)
+                )
+                ok &= (a1 + a2) <= max_interior_angle_rad
+        cand = np.nonzero(ok)[0]
+    else:
+        cand = np.zeros(0, np.int64)
 
-    kept = np.array([i for i in range(nt) if i not in removed], dtype=np.int64)
+    # Greedy first-come matching, vectorized: a candidate wins a round iff it
+    # is the lowest-index live candidate touching BOTH its triangles; winners
+    # retire their triangles and the rule repeats. This produces exactly the
+    # sequential greedy (lexicographically first maximal) matching in
+    # O(log M) numpy rounds instead of an O(M) interpreter loop.
+    tic, tjc, qc = pi[cand], pj[cand], (q[cand] if len(cand) else np.zeros((0, 4), np.int64))
+    M = len(cand)
+    alive = np.ones(M, bool)
+    used = np.zeros(nt, bool)
+    accepted = np.zeros(M, bool)
+    while True:
+        act = np.nonzero(alive)[0]
+        if len(act) == 0:
+            break
+        first = np.full(nt, M, np.int64)
+        np.minimum.at(first, tic[act], act)
+        np.minimum.at(first, tjc[act], act)
+        win = act[(first[tic[act]] == act) & (first[tjc[act]] == act)]
+        accepted[win] = True
+        used[tic[win]] = True
+        used[tjc[win]] = True
+        alive &= ~(used[tic] | used[tjc])
+
     return MixedTriQuadMesh3d(
         vertices=mesh.vertices,
-        triangles=tris[kept].astype(np.int32),
-        quads=(np.stack(quads).astype(np.int32) if quads else np.zeros((0, 4), np.int32)),
+        triangles=tris[~used].astype(np.int32),
+        quads=qc[accepted].astype(np.int32),
     )

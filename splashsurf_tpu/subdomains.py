@@ -937,10 +937,11 @@ def reconstruct_surface_subdomain_grid(
                 )
             # Overflow validation is deferred: pulling the scalar here would
             # cost a host round trip per chunk (the dominant frame cost over
-            # a remote link). Keep what's needed for an exact scatter redo.
-            raster_checks.append(
-                (len(ls_parts), plists, sub_ijk, max_row_over)
-            )
+            # a remote link). Keep only (part_idx, host rows, K) — the pair
+            # gathers are re-done on the rare redo path; retaining the
+            # gathered device arrays for every chunk would hold all chunks'
+            # particle lists live in HBM simultaneously.
+            raster_checks.append((len(ls_parts), rows.copy(), K, max_row_over))
         ls_parts.append(ls[: j - i])
         part_rows.append(order[i:j])
         i = j
@@ -950,9 +951,15 @@ def reconstruct_surface_subdomain_grid(
     # redone exactly via the scatter path.
     if raster_checks:
         overs = jax.device_get([c[3] for c in raster_checks])
-        for (part_idx, plists_c, sub_ijk_c, _), over in zip(raster_checks, overs):
+        for (part_idx, rows_c, K_c, _), over in zip(raster_checks, overs):
             if int(over) > 256:
+                counts_d = jnp.asarray(occ_counts)
+                rows_d = jnp.asarray(rows_c)
+                plists_c = _gather_pairs(pid_s, starts_d, counts_d, rows_d, K_c, n)
+                sub_ijk_c = jnp.asarray(sub_ijk_all[rows_c])
                 if dev_mesh is not None:
+                    plists_c = jax.device_put(plists_c, batch_sh)
+                    sub_ijk_c = jax.device_put(sub_ijk_c, batch_sh)
                     f = pmesh.sharded_splat_scatter(dev_mesh, sd, hsc, float(support))
                     ls_redo = f(positions_ext, values_ext, plists_c, sub_ijk_c)
                 else:
