@@ -92,11 +92,11 @@ def _warm_frame(
         positions, values, grid, slots, hsc, ofc, lane_align=lane_align
     )
     ls = gs.sweep_global(*r[:8], grid, csr, hsc, backend)
-    out = gs.mc_global_packed(
+    out = gs.mc_global_cells(
         ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap, encode=True
     )
-    ae, t, cells, cases, total_v, total_t, total_c = out
-    packed = gs._pack_encoded(ae, t, cells, cases, nv=nv_b, nc=nc_b)
+    t, points, words, total_v, total_t, total_c = out
+    packed = gs._pack_cellwise(t, points, words, nv=nv_b, nc=nc_b)
     return packed + (total_v, total_t, total_c, r[8], dcheck, rho)
 
 
@@ -159,17 +159,17 @@ def _try_warm_frame(
             slots=2, backend=backend, ofc=ofc, vcap=vcap, tcap=tcap,
             nv_b=nv_b, nc_b=nc_b,
         )
-    ae, t, cells, cases, tv_d, tt_d, tc_d, nov_d, dcheck, rho = out
+    t, points, words, tv_d, tt_d, tc_d, nov_d, dcheck, rho = out
     with profile("pull mesh"):
         extra = (grid_check,) if grid_check is not None else ()
         pulled = jax.device_get(
             (tv_d, tt_d, tc_d, nov_d, dcheck) + extra
-            + (ae, t, cells, cases)
+            + (t, points, words)
         )
     total_v, total_t, total_c, total_over = (int(x) for x in pulled[:4])
     density_ok = bool(pulled[4])
     grid_ok = bool(pulled[5]) if grid_check is not None else True
-    enc = pulled[-4:]
+    enc = pulled[-3:]
     if not grid_ok:
         raise GridPlanMiss("speculated background grid is stale")
     if not density_ok:
@@ -196,9 +196,19 @@ def _try_warm_frame(
         min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
     )
     with profile("decode mesh"):
-        verts, tris = gs._decode_packed_mesh(
-            enc[0], enc[1], enc[2], enc[3], total_v, total_t, total_c, grid
-        )
+        from splashsurf_tpu import native
+
+        dec = None
+        if enc[0].dtype == np.float32:
+            dec = native.mc_decode(
+                enc[0], enc[1], enc[2], total_v, total_t, total_c,
+                grid.n_points[1], grid.n_points[2], grid.min, grid.cell_size,
+            )
+        if dec is None:
+            dec = gs._decode_cellwise_mesh(
+                enc[0], enc[1], enc[2], total_v, total_t, total_c, grid
+            )
+        verts, tris = dec
     return verts, tris, rho
 
 

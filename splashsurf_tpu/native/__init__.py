@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "halfedge.cpp")
+_SRCS = [os.path.join(_DIR, "halfedge.cpp"), os.path.join(_DIR, "mc_decode.cpp")]
+_SRC = _SRCS[0]
 _LIB = os.path.join(_DIR, "libhalfedge.so")
 _LOCK = threading.Lock()
 _lib = None
@@ -25,7 +26,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB + ".tmp",
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _LIB + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
@@ -54,7 +55,8 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 _warn_fallback("g++ build failed or no compiler available")
                 return None
@@ -78,8 +80,59 @@ def load():
         ]
         lib.vertex_ring_sizes.restype = None
         lib.vertex_ring_sizes.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.mc_decode.restype = ctypes.c_int64
+        lib.mc_decode.argtypes = [
+            f32p, ctypes.c_int64,  # t, total_v
+            i32p, u16p, ctypes.c_int64,  # points, words, total_c
+            ctypes.c_int64, ctypes.c_int64,  # PY, PZ
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i8p, ctypes.c_int64,  # tri_table, n_slots
+            u8p,  # tri_count
+            i8p, i8p,  # edge_axis, edge_base
+            f32p, i32p,  # verts_out, tris_out
+        ]
         _lib = lib
         return _lib
+
+
+def mc_decode(t, points, words, total_v: int, total_t: int, total_c: int,
+              PY: int, PZ: int, grid_min, cell_size: float):
+    """Decode the compact (t, points, words) MC transfer into (verts, tris).
+
+    Returns None when the native library is unavailable (caller falls back
+    to the numpy decoder)."""
+    lib = load()
+    if lib is None:
+        return None
+    from splashsurf_tpu.mc import lut
+
+    t = np.ascontiguousarray(np.asarray(t)[:total_v], dtype=np.float32)
+    points = np.ascontiguousarray(np.asarray(points)[:total_c], dtype=np.int32)
+    words = np.ascontiguousarray(np.asarray(words)[:total_c], dtype=np.uint16)
+    tri_table = np.ascontiguousarray(
+        np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0), dtype=np.int8
+    )
+    tri_count = np.ascontiguousarray(lut.TRI_COUNT, dtype=np.uint8)
+    edge_axis = np.ascontiguousarray(lut.EDGE_AXIS, dtype=np.int8)
+    edge_base = np.ascontiguousarray(lut.EDGE_BASE_OFFSET, dtype=np.int8)
+    verts = np.empty((max(total_v, 1), 3), np.float32)
+    tris = np.empty((max(total_t, 1), 3), np.int32)
+    n = lib.mc_decode(
+        t, total_v, points, words, total_c, PY, PZ,
+        float(grid_min[0]), float(grid_min[1]), float(grid_min[2]),
+        float(cell_size),
+        tri_table, tri_table.shape[1], tri_count, edge_axis, edge_base,
+        verts, tris,
+    )
+    if n != total_t:
+        raise RuntimeError(
+            f"native mc_decode inconsistency: wrote {n} of {total_t} triangles"
+        )
+    return verts[:total_v], tris[:total_t]
 
 
 def available() -> bool:

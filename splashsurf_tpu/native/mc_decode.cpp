@@ -1,0 +1,124 @@
+// Native decoder for the compact marching-cubes transfer encoding.
+//
+// The device ships only (t, points, words) for the point-list MC
+// (ops/global_sweep.py: mc_global_cells(encode=True)); this rebuilds the
+// identical mesh the non-encoded path would produce: vertex positions in
+// f32 arithmetic mirroring the device phase-2 (up to FMA rounding),
+// triangle vertex indices via per-point rank merges (no hashing, no
+// per-lookup binary search — the active-point list is ascending, so each
+// of the 7 neighbor offsets is a single two-pointer merge).
+//
+// `words` packs the MC cell case in bits 0-7 and the three origin-edge
+// activity bits (+x/+y/+z) in bits 8-10; `points` are ascending flat grid
+// point ids with strides (PY*PZ, PZ, 1).
+//
+// Counterpart of the reference's triangulation.rs:23-57 walk, restructured
+// as flat array passes for a single weak host core.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Returns the number of triangles written, or -1 on inconsistency (a
+// referenced owner point missing from the active list).
+int64_t mc_decode(
+    const float* t, int64_t total_v,
+    const int32_t* points, const uint16_t* words, int64_t total_c,
+    int64_t PY, int64_t PZ,
+    double mnx, double mny, double mnz, double cell_size,
+    const int8_t* tri_table, int64_t n_slots,
+    const uint8_t* tri_count,
+    const int8_t* edge_axis, const int8_t* edge_base,
+    float* verts_out, int32_t* tris_out) {
+  const float mnf[3] = {(float)mnx, (float)mny, (float)mnz};
+  const float csf = (float)cell_size;
+  const int64_t pzy = PY * PZ;
+
+  // --- per-point per-axis exclusive vertex prefix -----------------------
+  std::vector<int32_t> vidx(3 * total_c);
+  int64_t counts_axis[3] = {0, 0, 0};
+  for (int a = 0; a < 3; ++a) {
+    const int bit = 8 + a;
+    int32_t run = 0;
+    int32_t* va = vidx.data() + a * total_c;
+    for (int64_t i = 0; i < total_c; ++i) {
+      va[i] = run;  // exclusive prefix: valid only where the edge is active
+      run += (words[i] >> bit) & 1;
+    }
+    counts_axis[a] = run;
+  }
+  const int64_t base1 = counts_axis[0];
+  const int64_t base2 = base1 + counts_axis[1];
+  if (base2 + counts_axis[2] != total_v) return -1;
+
+  // --- vertices ---------------------------------------------------------
+  {
+    int64_t vo = 0;
+    for (int a = 0; a < 3; ++a) {
+      const int bit = 8 + a;
+      for (int64_t i = 0; i < total_c; ++i) {
+        if ((words[i] >> bit) & 1) {
+          const int64_t p = points[i];
+          const int64_t ci = p / pzy;
+          const int64_t rem = p - ci * pzy;
+          const int64_t cj = rem / PZ;
+          const int64_t ck = rem - cj * PZ;
+          const float tv = t[vo];
+          float pos[3] = {mnf[0] + (float)ci * csf, mnf[1] + (float)cj * csf,
+                          mnf[2] + (float)ck * csf};
+          pos[a] += tv * csf;
+          verts_out[vo * 3 + 0] = pos[0];
+          verts_out[vo * 3 + 1] = pos[1];
+          verts_out[vo * 3 + 2] = pos[2];
+          ++vo;
+        }
+      }
+    }
+  }
+
+  // --- neighbor ranks: 7 two-pointer merges -----------------------------
+  // offset index = di*4 + dj*2 + dk over (di,dj,dk) in {0,1}^3 (0 = self)
+  std::vector<int32_t> rank7(8 * total_c);
+  for (int off = 0; off < 8; ++off) {
+    const int64_t di = (off >> 2) & 1, dj = (off >> 1) & 1, dk = off & 1;
+    const int64_t delta = di * pzy + dj * PZ + dk;
+    int32_t* r = rank7.data() + (int64_t)off * total_c;
+    if (off == 0) {
+      for (int64_t i = 0; i < total_c; ++i) r[i] = (int32_t)i;
+      continue;
+    }
+    int64_t j = 0;
+    for (int64_t i = 0; i < total_c; ++i) {
+      const int64_t target = (int64_t)points[i] + delta;
+      while (j < total_c && points[j] < target) ++j;
+      r[i] = (j < total_c && points[j] == target) ? (int32_t)j : -1;
+    }
+  }
+
+  // --- triangles --------------------------------------------------------
+  int64_t to = 0;
+  for (int64_t i = 0; i < total_c; ++i) {
+    const int c = words[i] & 0xFF;
+    const int cnt = tri_count[c];
+    for (int s = 0; s < cnt; ++s) {
+      for (int corner = 0; corner < 3; ++corner) {
+        const int local = tri_table[((int64_t)c * n_slots + s) * 3 + corner];
+        const int a = edge_axis[local];
+        const int di = edge_base[local * 3 + 0];
+        const int dj = edge_base[local * 3 + 1];
+        const int dk = edge_base[local * 3 + 2];
+        const int32_t rank = rank7[(int64_t)(di * 4 + dj * 2 + dk) * total_c + i];
+        if (rank < 0) return -1;
+        const int64_t base = (a == 0) ? 0 : (a == 1) ? base1 : base2;
+        tris_out[to * 3 + corner] =
+            (int32_t)(base + vidx[(int64_t)a * total_c + rank]);
+      }
+      ++to;
+    }
+  }
+  return to;
+}
+
+}  // extern "C"

@@ -412,6 +412,183 @@ def mc_global_packed(
     return vx, vy, vz, tcols[0], tcols[1], tcols[2], total_v, total_t
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "vertex_capacity", "triangle_capacity", "encode"),
+)
+def mc_global_cells(
+    ls,  # (PX, PY, PZ) level set on grid points
+    grid: UniformGrid,
+    iso,
+    vertex_capacity: int,
+    triangle_capacity: int,
+    encode: bool = False,
+):
+    """Cell-list marching cubes: compact active CELLS first, derive everything
+    else from the compact list.
+
+    The edge-major formulation (``mc_global_packed``) pays one scatter with
+    3*n_cells update rows (active-edge compaction) plus one with n_cells rows
+    (cell forward-fill) — scatters process ~1M update rows/ms on TPU, so at a
+    32M-cell grid that is ~130 ms of pure scatter. Here the ONLY wide scatter
+    is the active-cell compaction (n_cells rows); everything downstream runs
+    at active-cell scale (~1-2%% of the grid):
+
+      - per-cell origin-edge activity comes from the case bits (corner 0 vs
+        corners +x/+y/+z), no edge masks over the dense grid;
+      - vertex order is (axis, active-cell-rank) — axis-major so no (N,3)
+        minor-dim-3 arrays materialize;
+      - triangle corners map to vertices via a dense cell->rank table
+        (n_cells-wide but written with only ~active-cell update rows).
+
+    Matches marching_cubes_lut.rs triangulation semantics through the same
+    generated LUT; the narrow-band analog of narrow_band_extraction.rs.
+    Returns (vx, vy, vz, t0, t1, t2, total_v, total_t), or with
+    ``encode=True`` the compact transfer streams
+    (t, cells_c, cases_c, total_v, total_t, total_c) from which the host
+    rebuilds the identical mesh (see ``_decode_cellwise_mesh``).
+    """
+    dtype = ls.dtype
+    PX, PY, PZ = ls.shape
+    n_pts = PX * PY * PZ
+    cap = triangle_capacity  # active points <~ active cells <= triangles
+    iso = jnp.asarray(iso, dtype)
+    inside = ls >= iso
+    ls_flat = ls.reshape(-1)
+    mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
+    cs = jnp.asarray(grid.cell_size, dtype)
+
+    # --- active-POINT compaction (the one wide scatter) -------------------
+    # Each grid point owns its 3 origin edges (+x/+y/+z) and, when interior,
+    # the cell with the same ijk. A point-shaped 11-bit word packs the cell
+    # case (bits 0-7; 0 for far-boundary points with no cell) and the three
+    # origin-edge activity bits (8-10). Points own edges rather than cells
+    # because a surface touching the far grid planes has active edges whose
+    # same-ijk CELL does not exist — the point always does.
+    def pad_to_points(x):
+        return jnp.pad(x, [(0, PX - x.shape[0]), (0, PY - x.shape[1]), (0, PZ - x.shape[2])])
+
+    case = jnp.zeros((PX - 1, PY - 1, PZ - 1), jnp.int32)
+    for c8 in range(8):
+        oi, oj, ok = (c8 >> 2) & 1, (c8 >> 1) & 1, c8 & 1
+        corner = inside[oi : oi + PX - 1, oj : oj + PY - 1, ok : ok + PZ - 1]
+        case = case | (corner.astype(jnp.int32) << c8)
+    word = pad_to_points(jnp.where((case != 0) & (case != 255), case, 0))
+    for a, bit in ((0, 8), (1, 9), (2, 10)):
+        sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+        sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+        em = inside[sl0] != inside[sl1]
+        word = word | (pad_to_points(em.astype(jnp.int32)) << bit)
+    word_flat = word.reshape(-1)
+    active = word_flat != 0
+    acum = jnp.cumsum(active.astype(jnp.int32))
+    total_c = acum[-1]
+    ucdest = jnp.where(active, acum - 1, cap)
+    points_c = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[ucdest]
+        .set(jnp.arange(n_pts, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
+    words_c = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[ucdest]
+        .set(word_flat, mode="drop", unique_indices=True)
+    )
+
+    # --- vertex stream: one vertex per active origin edge, axis-major -----
+    ex = (words_c >> 8) & 1
+    ey = (words_c >> 9) & 1
+    ez = (words_c >> 10) & 1
+    emask = jnp.concatenate([ex, ey, ez]) == 1  # (3*cap,) axis-major
+    vcum = jnp.cumsum(emask.astype(jnp.int32))
+    total_v = vcum[-1]
+    vidx_pos = vcum - 1  # GLOBAL vertex index of active slot (axis*cap + rank)
+
+    vdest = jnp.where(emask, vidx_pos, vertex_capacity)
+    vslot = (
+        jnp.zeros((vertex_capacity,), jnp.int32)
+        .at[vdest]
+        .set(jnp.arange(3 * cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
+    vaxis = vslot // cap
+    vrank = vslot - vaxis * cap
+    p0 = points_c[vrank]  # flat POINT id (== edge base point)
+    step = jnp.where(vaxis == 0, PY * PZ, jnp.where(vaxis == 1, PZ, 1))
+    v0 = ls_flat[p0]
+    v1 = ls_flat[jnp.minimum(p0 + step, n_pts - 1)]
+    denom = v1 - v0
+    t = jnp.clip(
+        (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom), 0.0, 1.0
+    )
+    if encode:
+        counts_enc = jnp.asarray(lut.TRI_COUNT, jnp.int32)[words_c & 0xFF]
+        return (
+            t,
+            points_c,
+            words_c.astype(jnp.uint16),
+            total_v,
+            jnp.cumsum(counts_enc)[-1],
+            total_c,
+        )
+    vci = p0 // (PY * PZ)
+    vrem = p0 - vci * (PY * PZ)
+    vcj = vrem // PZ
+    vck = vrem - vcj * PZ
+    vijk = (vci, vcj, vck)
+    pvs = []
+    for d in range(3):
+        pos_d = mn[d] + vijk[d].astype(dtype) * cs
+        pos_d = pos_d + jnp.where(vaxis == d, t, 0) * cs
+        pvs.append(pos_d)
+    vx, vy, vz = pvs
+
+    # --- triangle stream --------------------------------------------------
+    # point -> rank table for neighbor-owned edge lookups (update rows = cap)
+    rank_dest = jnp.where(jnp.arange(cap) < total_c, points_c, n_pts)
+    rank_map = (
+        jnp.zeros((n_pts,), jnp.int32)
+        .at[rank_dest]
+        .set(jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
+    cases_c = words_c & 0xFF
+    counts = jnp.asarray(lut.TRI_COUNT, jnp.int32)[cases_c]
+    ccum = jnp.cumsum(counts)
+    offsets = ccum - counts
+    total_t = ccum[-1]
+    # forward-fill: which active-point slot owns each triangle slot
+    cdest = jnp.where(counts > 0, offsets, triangle_capacity)
+    slot_map = (
+        jnp.zeros((triangle_capacity,), jnp.int32)
+        .at[cdest]
+        .set(jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
+    slot_map = jax.lax.associative_scan(jnp.maximum, slot_map)
+    acase = cases_c[slot_map]
+    slot_in_cell = jnp.arange(triangle_capacity, dtype=jnp.int32) - offsets[slot_map]
+    emit = slot_in_cell < counts[slot_map]
+    tpoint = points_c[slot_map]
+
+    n_slots = lut.TRI_TABLE.shape[1]
+    tri_tab = np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0)
+    safe_slot = jnp.clip(slot_in_cell, 0, n_slots - 1)
+    # local edge -> (base-point offset, axis): the owner of an edge is its
+    # base POINT, at cell_ijk + EDGE_BASE_OFFSET — always a valid grid point
+    eb = lut.EDGE_BASE_OFFSET.astype(np.int32)  # (12, 3)
+    ea = lut.EDGE_AXIS.astype(np.int32)  # (12,)
+    edge_delta = eb[:, 0] * PY * PZ + eb[:, 1] * PZ + eb[:, 2]  # (12,) flat
+    tcols = []
+    for corner in range(3):
+        tab = jnp.asarray(tri_tab[:, :, corner], jnp.int32)
+        local = tab[acase, safe_slot]
+        nflat = tpoint + jnp.asarray(edge_delta)[local]
+        nrank = rank_map[jnp.clip(nflat, 0, n_pts - 1)]
+        eaxis = jnp.asarray(ea)[local]
+        tvidx = vidx_pos[eaxis * cap + nrank]
+        tcols.append(jnp.where(emit, tvidx, 0))
+
+    return vx, vy, vz, tcols[0], tcols[1], tcols[2], total_v, total_t
+
+
 # ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
@@ -467,6 +644,87 @@ def _pack_mesh(vx, vy, vz, t0, t1, t2, nv: int, nt: int):
 def _pack_encoded(ae, t, cells, cases, nv: int, nc: int):
     """Slice the encoded mesh streams to their transfer buckets."""
     return ae[:nv], t[:nv], cells[:nc], cases[:nc]
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "nc"))
+def _pack_cellwise(t, cells, cases, nv: int, nc: int):
+    """Slice the cellwise encoded streams (t, cells, cases) to buckets."""
+    return t[:nv], cells[:nc], cases[:nc]
+
+
+def _decode_cellwise_mesh(t, points, words, total_v, total_t, total_c, grid):
+    """Numpy fallback for the native ``mc_decode``: rebuild the mesh from the
+    point-word compact streams (same output up to FMA rounding of vertex
+    positions — the device fuses mn + ijk*cs, hosts multiply then add)."""
+    PY, PZ = grid.n_points[1], grid.n_points[2]
+    points = np.asarray(points[:total_c]).astype(np.int64)
+    words = np.asarray(words[:total_c]).astype(np.int64)
+    t = np.asarray(t[:total_v])
+    dtype = t.dtype
+    cases = words & 0xFF
+
+    ea = [(words >> 8) & 1, (words >> 9) & 1, (words >> 10) & 1]
+    emask = np.concatenate(ea) == 1
+    vcum = np.cumsum(emask)
+    if total_v and int(vcum[-1]) != total_v:
+        raise RuntimeError("cellwise decode inconsistency: vertex count")
+    vidx_pos = vcum - 1
+
+    # vertices, axis-major order matching the device
+    ci = points // (PY * PZ)
+    rem = points - ci * (PY * PZ)
+    cj = rem // PZ
+    ck = rem - cj * PZ
+    ijk = np.stack([ci, cj, ck])
+    verts = np.empty((total_v, 3), dtype)
+    cs = dtype.type(grid.cell_size)
+    vo = 0
+    for a in range(3):
+        sel = ea[a] == 1
+        n_a = int(sel.sum())
+        ta = t[vo : vo + n_a]
+        for d in range(3):
+            pos_d = dtype.type(grid.min[d]) + ijk[d][sel].astype(dtype) * cs
+            if d == a:
+                pos_d = pos_d + ta * cs
+            verts[vo : vo + n_a, d] = pos_d
+        vo += n_a
+
+    if total_t == 0:
+        return verts, np.zeros((0, 3), np.int32)
+
+    # neighbor ranks for the 7 nonzero offsets via searchsorted (points asc)
+    rank7 = np.empty((8, total_c), np.int64)
+    rank7[0] = np.arange(total_c)
+    for off in range(1, 8):
+        di, dj, dk = (off >> 2) & 1, (off >> 1) & 1, off & 1
+        target = points + (di * (PY * PZ) + dj * PZ + dk)
+        pos = np.searchsorted(points, target)
+        posc = np.minimum(pos, total_c - 1)
+        ok = points[posc] == target
+        rank7[off] = np.where(ok, posc, -1)
+
+    counts = lut.TRI_COUNT[cases].astype(np.int64)
+    rep = np.repeat(np.arange(total_c, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    slot = np.arange(len(rep), dtype=np.int64) - starts[rep]
+    if len(rep) != total_t:
+        raise RuntimeError("cellwise decode inconsistency: triangle count")
+    tri_tab = np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0)
+    eb = lut.EDGE_BASE_OFFSET.astype(np.int64)
+    eax = lut.EDGE_AXIS.astype(np.int64)
+    tris = np.empty((total_t, 3), np.int32)
+    off_idx_tab = eb[:, 0] * 4 + eb[:, 1] * 2 + eb[:, 2]
+    for corner in range(3):
+        local = tri_tab[cases[rep], slot, corner]
+        rank = rank7[off_idx_tab[local], rep]
+        if (rank < 0).any():
+            raise RuntimeError("cellwise decode inconsistency: missing owner")
+        a = eax[local]
+        # vidx_pos is the GLOBAL vertex index (cumsum over the axis-major
+        # concatenated edge mask), matching the device's vidx_pos gather
+        tris[:, corner] = vidx_pos[a * total_c + rank].astype(np.int32)
+    return verts, tris
 
 
 def _decode_packed_mesh(ae, t, cells, cases, total_v, total_t, total_c, grid):
@@ -585,16 +843,94 @@ def reconstruct_global_dense(
             caps = (_bucket16(int(nv) * 5 // 4), _bucket16(int(nt) * 5 // 4))
             _MC_CAPS[key] = caps
 
-    # NOTE: a compact (edge id, t) + (cell id, case) transfer encoding
-    # exists (mc_global_packed(encode=True) + _decode_packed_mesh) and cuts
-    # link bytes ~3x, but the host-side rebuild costs more than the saved
-    # transfer on slow host CPUs; the mono-frame path uses it, this default
-    # path transfers the packed buffers directly.
+    # Transfer modes (SPLASHSURF_TPU_PULL):
+    #   "encoded" (default): ship only (t, cells, cases) — ~5x fewer link
+    #     bytes — and rebuild the mesh on the host (native C++ decoder via
+    #     ctypes, numpy fallback). Device-side MC also skips the triangle
+    #     and position streams entirely.
+    #   "packed": transfer the full packed vertex/triangle buffers.
+    mc_edges = os.environ.get("SPLASHSURF_TPU_MC", "cells") == "edges"
+    use_enc = (
+        not mc_edges and os.environ.get("SPLASHSURF_TPU_PULL", "encoded") == "encoded"
+    )
+    mc_impl = mc_global_packed if mc_edges else mc_global_cells
     while True:
         vcap, tcap = caps
+        if use_enc:
+            with profile("marching cubes"):
+                enc = _sync(
+                    mc_global_cells(
+                        ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap,
+                        encode=True,
+                    )
+                )
+            t_s, cells_s, cases_s, tv_d, tt_d, tc_d = enc
+            with profile("pull mesh"):
+                plan = _PULL_PLAN_ENC.get(key)
+                if plan is not None and plan[0] <= vcap and plan[1] <= tcap:
+                    nv_b, nc_b = plan
+                    pt_, pc_, pcs_ = _pack_cellwise(
+                        t_s, cells_s, cases_s, nv=nv_b, nc=nc_b
+                    )
+                    pulled = jax.device_get(
+                        (tv_d, tt_d, tc_d, n_over) + tuple(deferred_checks)
+                        + (pt_, pc_, pcs_)
+                    )
+                    total_v, total_t, total_c, total_over = (
+                        int(x) for x in pulled[:4]
+                    )
+                    flags = [bool(c) for c in pulled[4:-3]]
+                    pt_, pc_, pcs_ = pulled[-3:]
+                else:
+                    pulled = jax.device_get(
+                        (tv_d, tt_d, tc_d, n_over) + tuple(deferred_checks)
+                    )
+                    total_v, total_t, total_c, total_over = (
+                        int(x) for x in pulled[:4]
+                    )
+                    flags = [bool(c) for c in pulled[4:]]
+                    pt_ = pc_ = pcs_ = None
+                if not all(flags):
+                    raise SpeculationMiss(flags)
+                if total_over > overflow_capacity:
+                    raise RuntimeError(
+                        f"raster overflow {total_over} exceeds capacity "
+                        f"{overflow_capacity}; increase slots"
+                    )
+                if total_v > vcap or total_t > tcap:
+                    from splashsurf_tpu.global_pipeline import SPECULATION_STATS
+
+                    SPECULATION_STATS["caps_retry"] += 1
+                    caps = (_bucket16(total_v * 5 // 4), _bucket16(total_t * 5 // 4))
+                    _MC_CAPS[key] = caps
+                    _PULL_PLAN_ENC.pop(key, None)
+                    continue
+                nv_b = min(vcap, _bucket16(total_v))
+                nc_b = min(tcap, _bucket16(total_c))
+                if pt_ is None or total_v > pt_.shape[0] or total_c > pc_.shape[0]:
+                    pt_, pc_, pcs_ = jax.device_get(
+                        _pack_cellwise(t_s, cells_s, cases_s, nv=nv_b, nc=nc_b)
+                    )
+                _PULL_PLAN_ENC[key] = (nv_b, nc_b)
+            with profile("decode mesh"):
+                from splashsurf_tpu import native
+
+                dec = None
+                if pt_.dtype == np.float32:
+                    dec = native.mc_decode(
+                        pt_, pc_, pcs_, total_v, total_t, total_c,
+                        grid.n_points[1], grid.n_points[2],
+                        grid.min, grid.cell_size,
+                    )
+                if dec is None:
+                    dec = _decode_cellwise_mesh(
+                        pt_, pc_, pcs_, total_v, total_t, total_c, grid
+                    )
+            return dec
+
         with profile("marching cubes"):
             out = _sync(
-                mc_global_packed(ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap)
+                mc_impl(ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap)
             )
         with profile("pull mesh"):
             plan = _PULL_PLAN.get(key)
