@@ -77,6 +77,17 @@ def rasterize_global(
     sub_align = 8 if lane_align > 1 else 1
     Yp = -(-(ncy + 2 * pad) // sub_align) * sub_align
     Zp = -(-(ncz + 2 * pad) // lane_align) * lane_align
+    if lane_align > 1:
+        # The pallas sweep's OUTPUT block must be (8, 128)-tile aligned in
+        # BOTH minor dims (Mosaic mis-stores the final partial tile of the
+        # last grid step otherwise — measured wrong values in the last
+        # (x, y) row at 2M scale). It therefore accumulates over
+        # (round8(PY), round128(PZ)) and its windows read rows/lanes up to
+        # 2*pad - 1 + that extent.
+        Yo = -(-(ncy + 1) // 8) * 8
+        Yp = max(Yp, -(-(2 * pad - 1 + Yo) // 8) * 8)
+        Zo = -(-(ncz + 1) // 128) * 128
+        Zp = max(Zp, -(-(2 * pad - 1 + Zo) // 128) * 128)
 
     cs = jnp.asarray(grid.cell_size, dtype)
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]

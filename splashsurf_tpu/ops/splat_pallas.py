@@ -87,7 +87,7 @@ def sweep_global_pallas(
         for dma in copies:
             dma.wait()
 
-        acc = jnp.zeros((PY, PZ), dtype)
+        acc = jnp.zeros((Yo, Zo), dtype)
         for s in range(S):
             prev_o0 = None
             dxsq = vy = vz = vv = None
@@ -103,29 +103,40 @@ def sweep_global_pallas(
                     vz = sz[s, o0]
                     vv = sv[s, o0]
                     prev_o0 = o0
-                wy = vy[o1 : o1 + PY, :] + ((o1 - p) * cs)
-                A = dxsq[o1 : o1 + PY, :] + wy * wy  # (PY, Zp)
-                vz1 = vz[o1 : o1 + PY, :]
-                vv1 = vv[o1 : o1 + PY, :]
+                wy = vy[o1 : o1 + Yo, :] + ((o1 - p) * cs)
+                A = dxsq[o1 : o1 + Yo, :] + wy * wy  # (Yo, Zp)
+                vz1 = vz[o1 : o1 + Yo, :]
+                vv1 = vv[o1 : o1 + Yo, :]
                 for o2 in o2s:
-                    wz = vz1[:, o2 : o2 + PZ] + ((o2 - p) * cs)
-                    d2 = A[:, o2 : o2 + PZ] + wz * wz
+                    wz = vz1[:, o2 : o2 + Zo] + ((o2 - p) * cs)
+                    d2 = A[:, o2 : o2 + Zo] + wz * wz
                     q = jnp.sqrt(d2) * (2.0 / h)
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
                     acc = acc + (a * a * a - 4.0 * (b * b * b)) * (
-                        vv1[:, o2 : o2 + PZ]
+                        vv1[:, o2 : o2 + Zo]
                     )
         out_ref[0] = acc * sigma
 
+    # The output block must be (8, 128)-tile aligned in BOTH minor dims:
+    # an unaligned (1, PY, PZ) block silently mis-stored the final partial
+    # tile of the last grid step (wrong values in the last (x, y) row at 2M
+    # scale; reproduced with a single far-corner particle). The accumulator
+    # runs over the padded rows/lanes too — raster pads hold inf-fracs /
+    # 0-values, so they compute to exactly 0 — and the cropped view drops
+    # them. Requires Yp >= 2p-1+Yo and Zp >= 2p-1+Zo (rasterize_global
+    # guarantees both for lane-aligned rasters).
+    Yo = -(-PY // 8) * 8
+    Zo = -(-PZ // 128) * 128
+    assert Yp >= 2 * p - 1 + Yo and Zp >= 2 * p - 1 + Zo, (Yp, Zp, p, Yo, Zo)
     out = pl.pallas_call(
         kernel,
         grid=(PX,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, PY, PZ), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
+            (1, Yo, Zo), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((PX, PY, PZ), dtype),
+        out_shape=jax.ShapeDtypeStruct((PX, Yo, Zo), dtype),
         scratch_shapes=[
             pltpu.VMEM((S, win_x, Yp, Zp), dtype),
             pltpu.VMEM((S, win_x, Yp, Zp), dtype),
@@ -140,7 +151,7 @@ def sweep_global_pallas(
         ),
         interpret=interpret,
     )(fx, fy, fz, fv)
-    return out
+    return out[:, :PY, :PZ]
 
 
 DENSITY_TILE_X = 8

@@ -212,14 +212,24 @@ class TestPipelineExtras:
             PostprocessingParameters(mesh_aabb=box),
         )
         v = res.tri_mesh.mesh.vertices
-        assert np.all(v.min(axis=0) >= np.asarray(box.min) - 1e-6)
-        assert np.all(v.max(axis=0) <= np.asarray(box.max) + 1e-6)
+        # Reference semantics (mesh.rs:334-371): keep every triangle with at
+        # least one vertex inside the AABB; WITHOUT clamp_vertices the kept
+        # triangles' outside vertices protrude — but never by more than one
+        # triangle's extent (bounded by the kernel support here).
+        slack = 4.0 * 0.025  # compact support radius of _params()
+        assert np.all(v.min(axis=0) >= np.asarray(box.min) - slack)
+        assert np.all(v.max(axis=0) <= np.asarray(box.max) + slack)
+        assert len(v) > 0
         res2 = reconstruction_pipeline(
             bunny, _params(),
             PostprocessingParameters(mesh_aabb=box, mesh_aabb_clamp_vertices=True),
         )
-        # clamping keeps all vertices (possibly squashed onto the box)
-        assert res2.tri_mesh.mesh.num_vertices >= res.tri_mesh.mesh.num_vertices
+        v2 = res2.tri_mesh.mesh.vertices
+        # with clamping every vertex lands exactly inside the box
+        assert np.all(v2.min(axis=0) >= np.asarray(box.min) - 1e-6)
+        assert np.all(v2.max(axis=0) <= np.asarray(box.max) + 1e-6)
+        # clamping squashes rather than deletes: same mesh size
+        assert res2.tri_mesh.mesh.num_vertices == res.tri_mesh.mesh.num_vertices
 
     def test_attribute_interpolation_via_cli(self, tmp_path, data_dir):
         out = str(tmp_path / "attr.vtk")

@@ -45,6 +45,34 @@ class TestSplatEquivalence:
         )
         np.testing.assert_allclose(ls_pal, ls_scan, rtol=2e-5, atol=1e-5)
 
+    def test_global_sweep_pallas_far_corner_particle(self):
+        # Regression: with an unaligned (1, PY, PZ) output block Mosaic
+        # mis-stored the final partial tile of the last grid step — a
+        # particle in the LAST cell produced zeros (or garbage) in the last
+        # (x, y) row on real TPU hardware at 2M scale. The output block is
+        # now (8, 128)-tile aligned; this pins the contract in interpret
+        # mode with a deliberately unaligned grid.
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        grid = UniformGrid(
+            min=(0.0, 0.0, 0.0), cell_size=0.0375, n_cells=(30, 21, 27)
+        )
+        support = 0.1
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+        # particle inside the last cell, near the far corner
+        far = np.asarray(grid.min) + np.asarray(grid.n_cells) * grid.cell_size
+        pts = (far - 0.2 * grid.cell_size)[None].astype(np.float32)
+        vals = np.ones((1,), np.float32)
+        r = gs.rasterize_global(pts, vals, grid, 2, hsc, 1024, lane_align=128)
+        ls_scan = np.asarray(
+            gs.sweep_global(*r[:8], grid, support, hsc, "scan")
+        )
+        ls_pal = np.asarray(
+            gs.sweep_global(*r[:8], grid, support, hsc, "pallas_interpret")
+        )
+        assert ls_scan[-1].max() > 0  # the far plane genuinely sees it
+        np.testing.assert_allclose(ls_pal, ls_scan, rtol=2e-5, atol=1e-5)
+
     def test_raster_tile_alignment(self, rng):
         # Mosaic DMA slices need 8-sublane / 128-lane alignment; a grid
         # whose Yp = ncy + 2*(hsc+1) is not a multiple of 8 crashed the
