@@ -81,13 +81,13 @@ def rasterize_global(
         # The pallas sweep's OUTPUT block must be (8, 128)-tile aligned in
         # BOTH minor dims (Mosaic mis-stores the final partial tile of the
         # last grid step otherwise — measured wrong values in the last
-        # (x, y) row at 2M scale). It therefore accumulates over
-        # (round8(PY), round128(PZ)) and its windows read rows/lanes up to
-        # 2*pad - 1 + that extent.
+        # (x, y) row at 2M scale). Its sublane (y) windows SLICE rows up to
+        # 2*pad - 1 + round8(PY), so Yp must cover that reach (a <= 1-tile
+        # bump). Lane (z) windows that would overrun Zp use an in-kernel
+        # lane roll instead — widening Zp by a whole 128-lane tile would
+        # double the raster + DMA cost at typical grid shapes.
         Yo = -(-(ncy + 1) // 8) * 8
         Yp = max(Yp, -(-(2 * pad - 1 + Yo) // 8) * 8)
-        Zo = -(-(ncz + 1) // 128) * 128
-        Zp = max(Zp, -(-(2 * pad - 1 + Zo) // 128) * 128)
 
     cs = jnp.asarray(grid.cell_size, dtype)
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]

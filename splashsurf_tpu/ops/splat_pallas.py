@@ -108,14 +108,21 @@ def sweep_global_pallas(
                 vz1 = vz[o1 : o1 + Yo, :]
                 vv1 = vv[o1 : o1 + Yo, :]
                 for o2 in o2s:
-                    wz = vz1[:, o2 : o2 + Zo] + ((o2 - p) * cs)
-                    d2 = A[:, o2 : o2 + Zo] + wz * wz
+                    # z window: a lane slice when it fits inside Zp, else a
+                    # lane roll (the tile-aligned Zo output can reach up to
+                    # 2p-1 lanes past Zp; wrapped lanes only land in the
+                    # cropped [PZ, Zo) region — valid lanes l+o2 <= ncz+2p-1
+                    # < Zp never see them).
+                    if o2 + Zo <= Zp:
+                        lwin = lambda v: v[:, o2 : o2 + Zo]
+                    else:
+                        lwin = lambda v: pltpu.roll(v, Zp - o2, 1)[:, :Zo]
+                    wz = lwin(vz1) + ((o2 - p) * cs)
+                    d2 = lwin(A) + wz * wz
                     q = jnp.sqrt(d2) * (2.0 / h)
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
-                    acc = acc + (a * a * a - 4.0 * (b * b * b)) * (
-                        vv1[:, o2 : o2 + Zo]
-                    )
+                    acc = acc + (a * a * a - 4.0 * (b * b * b)) * lwin(vv1)
         out_ref[0] = acc * sigma
 
     # The output block must be (8, 128)-tile aligned in BOTH minor dims:
@@ -124,11 +131,12 @@ def sweep_global_pallas(
     # scale; reproduced with a single far-corner particle). The accumulator
     # runs over the padded rows/lanes too — raster pads hold inf-fracs /
     # 0-values, so they compute to exactly 0 — and the cropped view drops
-    # them. Requires Yp >= 2p-1+Yo and Zp >= 2p-1+Zo (rasterize_global
-    # guarantees both for lane-aligned rasters).
+    # them. Sublane (y) windows slice, so Yp must cover 2p-1+Yo
+    # (rasterize_global guarantees it); lane (z) windows roll when the
+    # slice would overrun Zp, so Zp only needs to hold the raster itself.
     Yo = -(-PY // 8) * 8
     Zo = -(-PZ // 128) * 128
-    assert Yp >= 2 * p - 1 + Yo and Zp >= 2 * p - 1 + Zo, (Yp, Zp, p, Yo, Zo)
+    assert Yp >= 2 * p - 1 + Yo and Zp >= Zo, (Yp, Zp, p, Yo, Zo)
     out = pl.pallas_call(
         kernel,
         grid=(PX,),
