@@ -161,9 +161,14 @@ def initialize_logging(quiet: bool, verbose: int):
         level = VERBOSE_TRACE
         # surface jax's own debug logging at trace verbosity
         logging.getLogger("jax").setLevel(logging.DEBUG)
+    from splashsurf_tpu.progress import ProgressAwareStreamHandler
+
     logging.basicConfig(
         level=level, format="[%(asctime)s.%(msecs)03d][%(levelname)s] %(message)s",
         datefmt="%H:%M:%S",
+        # log records suspend the sequence progress bar so the two never
+        # interleave on the terminal (logging.rs:44-56 semantics)
+        handlers=[ProgressAwareStreamHandler()],
     )
 
 
@@ -366,17 +371,37 @@ def reconstruct_subcommand(args) -> int:
             "Wrote surface mesh: %d vertices, %d cells", len(m.vertices), n_cells
         )
 
-    if args.mt_files and len(jobs) > 1:
-        # Parallel over files (reconstruct.rs:405-432): IO/host post-proc of
-        # different frames overlaps; device work serializes on the TPU.
-        from concurrent.futures import ThreadPoolExecutor
+    # Sequence progress bar (reconstruct.rs:394-404): only for multi-file
+    # runs; renders on stderr TTYs, suspended around log records.
+    from splashsurf_tpu import progress as prog
 
-        workers = args.num_threads or min(4, len(jobs))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(run_job, jobs))
-    else:
-        for job in jobs:
-            run_job(job)
+    pb = None
+    if len(jobs) > 1 and not args.quiet:
+        pb = prog.ProgressBar(len(jobs))
+        prog.set_progress_bar(pb)
+
+    def run_job_counted(job):
+        run_job(job)
+        bar = prog.get_progress_bar()
+        if bar is not None:
+            bar.inc()
+
+    try:
+        if args.mt_files and len(jobs) > 1:
+            # Parallel over files (reconstruct.rs:405-432): IO/host post-proc
+            # of different frames overlaps; device work serializes on the TPU.
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = args.num_threads or min(4, len(jobs))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run_job_counted, jobs))
+        else:
+            for job in jobs:
+                run_job_counted(job)
+    finally:
+        if pb is not None:
+            pb.finish()
+            prog.set_progress_bar(None)
     return 0
 
 

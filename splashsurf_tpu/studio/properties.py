@@ -90,12 +90,26 @@ class SimpleProps:
 
 if HAS_BPY:
 
+    from splashsurf_tpu.studio.handlers import (
+        property_callback,
+        update_on_change_callback,
+    )
+
     def _bpy_prop(typ, default, desc):
+        # every reconstruction property re-runs the reconstruction on edit
+        # when live updates are enabled (reference properties use
+        # update=property_callback throughout)
         if typ is float:
-            return FloatProperty(default=default, description=desc)
+            return FloatProperty(
+                default=default, description=desc, update=property_callback
+            )
         if typ is int:
-            return IntProperty(default=default, description=desc)
-        return BoolProperty(default=default, description=desc)
+            return IntProperty(
+                default=default, description=desc, update=property_callback
+            )
+        return BoolProperty(
+            default=default, description=desc, update=property_callback
+        )
 
     annotations = {
         name: _bpy_prop(typ, default, desc)
@@ -117,6 +131,12 @@ if HAS_BPY:
             "viewport": PointerProperty(type=SPSF_ReconstructionProperties),
             "render": PointerProperty(type=SPSF_ReconstructionProperties),
             "use_render_params_in_viewport": BoolProperty(default=False),
+            "update_on_change": BoolProperty(
+                default=False,
+                description="Re-run the reconstruction whenever a "
+                "parameter changes",
+                update=update_on_change_callback,
+            ),
         }
 
     _CLASSES = [SPSF_ReconstructionProperties, SPSF_ObjectSettings]

@@ -21,6 +21,14 @@ def clear_cache():
     _FRAME_CACHE.clear()
 
 
+def invalidate(obj_name: str, frame: int):
+    """Drop cached meshes of one object at one frame (both render modes) —
+    a property edit makes them stale (reference property_callback's
+    cached-flag reset, handlers.py:60-66)."""
+    for is_render in (False, True):
+        _FRAME_CACHE.pop((obj_name, frame, is_render), None)
+
+
 def update_entries(scene, depsgraph, is_render: bool = False):
     for obj in scene.objects:
         settings = getattr(obj, "spsf_settings", None)

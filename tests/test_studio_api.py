@@ -85,3 +85,60 @@ class TestTopLevelApi:
         sdf = (1.0 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32)
         mesh = st.marching_cubes(sdf, 0.0, c[1] - c[0], (-1.4,) * 3)
         assert st.check_mesh_consistency(mesh.vertices, mesh.triangles) is None
+
+
+class TestStudioHandlers:
+    def test_render_phase_toggle(self):
+        from splashsurf_tpu.studio import handlers as h
+
+        assert h.is_rendering() is False
+        h.toggle_rendering_on(None)
+        assert h.is_rendering() is True
+        h.toggle_rendering_off(None)
+        assert h.is_rendering() is False
+
+    def test_active_props_group(self):
+        from types import SimpleNamespace
+
+        from splashsurf_tpu.studio import handlers as h
+
+        s = SimpleNamespace(use_render_params_in_viewport=False)
+        assert h.active_props_group(s, rendering=False) == "viewport"
+        assert h.active_props_group(s, rendering=True) == "render"
+        s.use_render_params_in_viewport = True
+        assert h.active_props_group(s, rendering=False) == "render"
+
+    def test_edit_triggers_update(self):
+        from types import SimpleNamespace
+
+        from splashsurf_tpu.studio import handlers as h
+
+        s = SimpleNamespace(
+            use_render_params_in_viewport=False,
+            update_on_change=True,
+            enabled=True,
+        )
+        # viewport edit applies in viewport mode, render edit does not
+        assert h.edit_triggers_update(s, "viewport", rendering=False)
+        assert not h.edit_triggers_update(s, "render", rendering=False)
+        # while rendering the render group is live
+        assert h.edit_triggers_update(s, "render", rendering=True)
+        # live updates off / object disabled -> never
+        s.update_on_change = False
+        assert not h.edit_triggers_update(s, "viewport", rendering=False)
+        s.update_on_change = True
+        s.enabled = False
+        assert not h.edit_triggers_update(s, "viewport", rendering=False)
+
+    def test_cache_invalidate(self):
+        from splashsurf_tpu.studio import updater
+
+        updater.clear_cache()
+        updater._FRAME_CACHE[("obj", 3, False)] = ("v", "f")
+        updater._FRAME_CACHE[("obj", 3, True)] = ("v", "f")
+        updater._FRAME_CACHE[("obj", 4, False)] = ("v", "f")
+        updater.invalidate("obj", 3)
+        assert ("obj", 3, False) not in updater._FRAME_CACHE
+        assert ("obj", 3, True) not in updater._FRAME_CACHE
+        assert ("obj", 4, False) in updater._FRAME_CACHE
+        updater.clear_cache()
