@@ -36,6 +36,33 @@ def make_dam_break(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
     return pts
 
 
+def make_canyon(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
+    """Sparse benchmark fluid: a thin terrain-following sheet over a large
+    horizontal extent (the shape of the reference's canyon headline run,
+    README.md:169-199 — 13.4M particles over a 21.5B-cell grid). The fluid
+    AABB grid far exceeds the dense-path gate, so reconstruction routes
+    through the subdomain pipeline."""
+    rng = np.random.default_rng(seed)
+    spacing = 2.0 * radius
+    layers = 8  # sheet thickness in particles
+    base = (n_target / (4 * layers)) ** 0.5
+    nx, nz = int(4 * base), int(base)
+    x = (np.arange(nx) + 0.5) * spacing
+    z = (np.arange(nz) + 0.5) * spacing
+    X, Z = np.meshgrid(x, z, indexing="ij")
+    # rolling terrain: two incommensurate waves, amplitude >> sheet depth
+    H = 0.9 * (np.sin(X * 1.7) * np.cos(Z * 2.3) + 0.6 * np.sin(X * 0.4 + Z))
+    pts = np.empty((nx * nz * layers, 3), np.float32)
+    k = 0
+    for l in range(layers):
+        Y = H + (l + 0.5) * spacing
+        sl = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+        pts[k : k + nx * nz] = sl
+        k += nx * nz
+    pts += (rng.uniform(-0.25, 0.25, pts.shape) * spacing).astype(np.float32)
+    return pts
+
+
 def bench_stage(stage: str, n: int, repeats: int):
     """Micro-benchmarks of isolated stages (criterion-bench analogs:
     bench_grid_loop / bench_neighborhood / bench_mesh / bench_aabb)."""
@@ -142,6 +169,12 @@ def main():
         help="sequence mode: reconstruct N jittered frames back to back "
         "and report frames/s (the --mt-files analog on-device)",
     )
+    ap.add_argument(
+        "--sparse",
+        action="store_true",
+        help="canyon-like sparse sheet over a huge grid: routes through "
+        "the subdomain pipeline (the reference headline configuration)",
+    )
     args = ap.parse_args()
     if args.stage:
         from splashsurf_tpu.workspace import enable_persistent_cache
@@ -162,12 +195,29 @@ def main():
     print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     radius = 0.011
-    pts = make_dam_break(args.n, radius)
+    if args.sparse:
+        if args.n == 2_000_000 and not args.smoke:
+            args.n = 8_000_000  # default sparse scale
+        pts = make_canyon(args.n, radius)
+    else:
+        pts = make_dam_break(args.n, radius)
     n = len(pts)
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     print(f"# particles: {n}", file=sys.stderr)
 
     params = st.Parameters.new_relative(radius, 4.0, 1.5)
+    if args.sparse:
+        from splashsurf_tpu.reconstruction import grid_for_reconstruction
+
+        g = grid_for_reconstruction(
+            pts, radius, params.compact_support_radius, params.cube_size
+        )
+        nc = g.n_cells
+        print(
+            f"# sparse grid: {nc[0]}x{nc[1]}x{nc[2]} = "
+            f"{nc[0] * nc[1] * nc[2] / 1e6:.0f}M cells (dense gate: 48M)",
+            file=sys.stderr,
+        )
 
     # Pre-upload the jittered frames: the serving tunnel moves host<->device
     # data at ~25 MB/s, which models no real TPU ingest path (the reference
@@ -236,7 +286,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "end_to_end_reconstruction_throughput",
+                "metric": (
+                    "sparse_subdomain_reconstruction_throughput"
+                    if args.sparse
+                    else "end_to_end_reconstruction_throughput"
+                ),
                 "value": round(mpps, 3),
                 "unit": "Mparticles/s",
                 "vs_baseline": round(mpps / BASELINE_MPPS, 3),

@@ -36,12 +36,13 @@ def sweep_global_pallas(
     n_points,  # (PX, PY, PZ)
     interpret: bool = False,
 ):
-    """Global-grid level-set sweep: one output x-plane per program instance.
+    """Global-grid level-set sweep: TX=8 output x-planes per program instance.
 
-    Per instance: DMA the 2*(hsc+1) input x-planes of every (slot,
-    component) raster into VMEM, then accumulate the ~|ball| statically
-    pruned (o1, o2) windows per plane — (PY, PZ) VPU expressions with
-    sublane (o1) and small lane (o2 < 2*hsc+2) shifts only. The reference
+    Per instance: DMA the TX + 2*(hsc+1) input x-planes of every (slot,
+    component) raster into VMEM with (x, y) flattened onto sublanes, then
+    accumulate the ~|ball| statically pruned (o1, o2) windows — each ONE
+    (TX*Yp, Zp) VPU expression covering all TX planes via a single sublane
+    slice at o0*Yp + o1 (and a lane slice/roll for o2). The reference
     analog is the AVX2/NEON density grid loop (dense_subdomains.rs:849-1133)
     applied to the whole background grid instead of per-subdomain blocks.
     """
@@ -58,10 +59,22 @@ def sweep_global_pallas(
     by_o01 = {}
     for o0, o1, o2 in offs:
         by_o01.setdefault((int(o0), int(o1)), []).append(int(o2))
-    win_x = -(-2 * p // 8) * 8
 
-    # DMA windows reach x0 + win_x; pad x if the rounded window overruns.
-    x_pad = (PX - 1) + win_x - Xp
+    # x tiling: TX output planes per program step. The (x, y) dims of each
+    # DMA'd window are FLATTENED onto sublanes, so one static sublane slice
+    # at offset o0*Yp + o1 covers the (o0, o1) window of all TX planes at
+    # once — the per-offset VPU op is TX times wider and the DMA traffic
+    # per output plane drops ~TX/(2p)x versus the one-plane-per-step form,
+    # at an unchanged unrolled-block count (Mosaic compile stays flat).
+    # Cross-plane sublane bleed (rows y + o1 >= Yp reading the next plane)
+    # only lands in cropped rows: valid rows read y + o1 <= PY-1 + 2p-1
+    # < Yp (rasterize_global guarantees Yp >= round8(PY) + 2p - 1).
+    TX = 8
+    win_x = TX + 2 * p  # +1 plane: the last row's o1 shift leaks past Yp
+    n_tiles = -(-PX // TX)
+
+    # DMA windows reach (n_tiles-1)*TX + win_x; pad x to the window reach.
+    x_pad = (n_tiles - 1) * TX + win_x - Xp
     if x_pad > 0:
         pw = ((0, 0), (0, x_pad), (0, 0), (0, 0))
         fx = jnp.pad(fx, pw, constant_values=np.inf)
@@ -73,40 +86,54 @@ def sweep_global_pallas(
     cs = float(cell_size)
     sigma = 8.0 / (h * h * h) / (4.0 * math.pi)
     dtype = fx.dtype
+    TXY = TX * Yp
+    ext = (TX + 1) * Yp  # rows per o0 fan: TX planes + 1 for the o1 bleed
+
+    # flatten (x, y) onto the sublane dim for whole-rows DMA slicing
+    fx = fx.reshape(S, -1, Zp)
+    fy = fy.reshape(S, -1, Zp)
+    fz = fz.reshape(S, -1, Zp)
+    fv = fv.reshape(S, -1, Zp)
 
     def kernel(fxh, fyh, fzh, fvh, out_ref, sx, sy, sz, sv, sems):
-        x0 = pl.program_id(0)
+        r_hbm = pl.program_id(0) * (TX * Yp)
         copies = []
         for s in range(S):
             for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh), (sv, fvh)):
                 dma = pltpu.make_async_copy(
-                    hbm.at[s, pl.ds(x0, win_x)], scr.at[s], sems.at[len(copies)]
+                    hbm.at[s, pl.ds(r_hbm, win_x * Yp)],
+                    scr.at[s],
+                    sems.at[len(copies)],
                 )
                 dma.start()
                 copies.append(dma)
         for dma in copies:
             dma.wait()
 
-        acc = jnp.zeros((Yo, Zo), dtype)
+        acc = jnp.zeros((TXY, Zo), dtype)
         for s in range(S):
             prev_o0 = None
             dxsq = vy = vz = vv = None
             for (o0, o1), o2s in by_o01.items():
                 if o0 != prev_o0:
-                    # hoist the x-term square over the whole (o1, o2) fan:
-                    # d2 associates as ((wx^2 + wy^2) + wz^2), so sharing
-                    # the partial sums is bit-identical to the naive form
-                    vx = sx[s, o0]
+                    # hoist the per-o0 loads + x-term square over the whole
+                    # (o1, o2) fan: d2 associates as ((wx^2 + wy^2) + wz^2),
+                    # so sharing the partial sums is bit-identical to the
+                    # naive form. Ref loads start at o0*Yp (8-aligned: Yp is
+                    # a sublane multiple); the o1 shift happens on the
+                    # loaded VALUE where unaligned slicing is legal.
+                    base = o0 * Yp
+                    vx = sx[s, base : base + ext, :]
                     wx = vx + ((o0 - p) * cs)
                     dxsq = wx * wx
-                    vy = sy[s, o0]
-                    vz = sz[s, o0]
-                    vv = sv[s, o0]
+                    vy = sy[s, base : base + ext, :]
+                    vz = sz[s, base : base + ext, :]
+                    vv = sv[s, base : base + ext, :]
                     prev_o0 = o0
-                wy = vy[o1 : o1 + Yo, :] + ((o1 - p) * cs)
-                A = dxsq[o1 : o1 + Yo, :] + wy * wy  # (Yo, Zp)
-                vz1 = vz[o1 : o1 + Yo, :]
-                vv1 = vv[o1 : o1 + Yo, :]
+                wy = vy[o1 : o1 + TXY, :] + ((o1 - p) * cs)
+                A = dxsq[o1 : o1 + TXY, :] + wy * wy  # (TXY, Zp)
+                vz1 = vz[o1 : o1 + TXY, :]
+                vv1 = vv[o1 : o1 + TXY, :]
                 for o2 in o2s:
                     # z window: a lane slice when it fits inside Zp, else a
                     # lane roll (the tile-aligned Zo output can reach up to
@@ -123,33 +150,32 @@ def sweep_global_pallas(
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
                     acc = acc + (a * a * a - 4.0 * (b * b * b)) * lwin(vv1)
-        out_ref[0] = acc * sigma
+        out_ref[...] = (acc * sigma).reshape(TX, Yp, Zo)
 
     # The output block must be (8, 128)-tile aligned in BOTH minor dims:
     # an unaligned (1, PY, PZ) block silently mis-stored the final partial
     # tile of the last grid step (wrong values in the last (x, y) row at 2M
-    # scale; reproduced with a single far-corner particle). The accumulator
-    # runs over the padded rows/lanes too — raster pads hold inf-fracs /
-    # 0-values, so they compute to exactly 0 — and the cropped view drops
-    # them. Sublane (y) windows slice, so Yp must cover 2p-1+Yo
-    # (rasterize_global guarantees it); lane (z) windows roll when the
-    # slice would overrun Zp, so Zp only needs to hold the raster itself.
-    Yo = -(-PY // 8) * 8
+    # scale; reproduced with a single far-corner particle). The (TX, Yp, Zo)
+    # block accumulates over the padded rows/lanes too — raster pads hold
+    # inf-fracs / 0-values, so they compute to exactly 0 — and the cropped
+    # view drops them. Sublane (y) windows slice, so Yp must cover the
+    # valid rows' reach PY + 2p - 1 (rasterize_global guarantees it); lane
+    # (z) windows roll when the slice would overrun Zp.
     Zo = -(-PZ // 128) * 128
-    assert Yp >= 2 * p - 1 + Yo and Zp >= Zo, (Yp, Zp, p, Yo, Zo)
+    assert Yp >= PY + 2 * p - 1 and Zp >= Zo, (Yp, Zp, p, PY, Zo)
     out = pl.pallas_call(
         kernel,
-        grid=(PX,),
+        grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, Yo, Zo), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
+            (TX, Yp, Zo), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((PX, Yo, Zo), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TX, Yp, Zo), dtype),
         scratch_shapes=[
-            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x, Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
+            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
             pltpu.SemaphoreType.DMA((4 * S,)),
         ],
         compiler_params=(
@@ -159,7 +185,7 @@ def sweep_global_pallas(
         ),
         interpret=interpret,
     )(fx, fy, fz, fv)
-    return out[:, :PY, :PZ]
+    return out[:PX, :PY, :PZ]
 
 
 DENSITY_TILE_X = 8
