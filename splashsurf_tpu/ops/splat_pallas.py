@@ -60,34 +60,43 @@ def sweep_global_pallas(
     for o0, o1, o2 in offs:
         by_o01.setdefault((int(o0), int(o1)), []).append(int(o2))
 
-    # x tiling: TX output planes per program step. The (x, y) dims of each
-    # DMA'd window are FLATTENED onto sublanes, so one static sublane slice
-    # at offset o0*Yp + o1 covers the (o0, o1) window of all TX planes at
-    # once — the per-offset VPU op is TX times wider and the DMA traffic
-    # per output plane drops ~TX/(2p)x versus the one-plane-per-step form,
-    # at an unchanged unrolled-block count (Mosaic compile stays flat).
-    # Cross-plane sublane bleed (rows y + o1 >= Yp reading the next plane)
-    # only lands in cropped rows: valid rows read y + o1 <= PY-1 + 2p-1
-    # < Yp (rasterize_global guarantees Yp >= round8(PY) + 2p - 1).
-    TX = 8
-    win_x = TX + 2 * p  # +1 plane: the last row's o1 shift leaks past Yp
-    n_tiles = -(-PX // TX)
+    # Register-blocked accumulation: Mosaic does NOT fuse elementwise
+    # chains, so an op chain on a whole-plane value streams every
+    # intermediate through VMEM (~630 GB/frame at the 2M bench shape,
+    # measured 271 ms). Instead, each program step computes a (Y_BLK, Zo)
+    # ROW TILE of one output x-plane with the whole offset fan unrolled on
+    # vreg-resident values; the step's input window is DMA'd into a small
+    # scratch so every in-kernel load is a STATIC slice (traced slice
+    # starts sent Mosaic's compiler into a tailspin: a fori_loop variant of
+    # this kernel with pl.ds(traced) loads compiled for >30 min).
+    Y_BLK = 64
+    Zo = -(-PZ // 128) * 128
+    n_yt = -(-PY // Y_BLK)
+    # o1 slices of the loaded (o0, y) window reach Y_BLK + 2p - 1 rows; the
+    # DMA'd range spans the 2p x-planes contributing to the output plane
+    # (offsets o0 in [0, 2p-1] after the +p shift).
+    ext_rows = Y_BLK + (-(-(2 * p - 1) // 8) * 8)
+    R = (2 * p - 1) * Yp + ext_rows  # rows DMA'd per step (8 | R)
 
-    # DMA windows reach (n_tiles-1)*TX + win_x; pad x to the window reach.
-    x_pad = (n_tiles - 1) * TX + win_x - Xp
-    if x_pad > 0:
-        pw = ((0, 0), (0, x_pad), (0, 0), (0, 0))
+    # Raster guarantees Yp >= PY + 2p - 1, but the y-tiling reads up to
+    # n_yt*Y_BLK + 2p - 1 and the x reach up to (PX - 1) + 2p - 1 planes;
+    # pad to the tile reach (pads hold inf fracs / 0 values -> exactly 0).
+    y_pad = n_yt * Y_BLK + ext_rows - Y_BLK - Yp
+    x_pad = (PX - 1) + 2 * p - Xp
+    if y_pad > 0 or x_pad > 0:
+        pw = ((0, 0), (0, max(x_pad, 0)), (0, max(y_pad, 0)), (0, 0))
         fx = jnp.pad(fx, pw, constant_values=np.inf)
         fy = jnp.pad(fy, pw, constant_values=np.inf)
         fz = jnp.pad(fz, pw, constant_values=np.inf)
         fv = jnp.pad(fv, pw, constant_values=0.0)
+        Xp, Yp = fx.shape[1], fx.shape[2]
+        ext_rows = Y_BLK + (-(-(2 * p - 1) // 8) * 8)
+        R = (2 * p - 1) * Yp + ext_rows
 
     h = float(compact_support_radius)
     cs = float(cell_size)
     sigma = 8.0 / (h * h * h) / (4.0 * math.pi)
     dtype = fx.dtype
-    TXY = TX * Yp
-    ext = (TX + 1) * Yp  # rows per o0 fan: TX planes + 1 for the o1 bleed
 
     # flatten (x, y) onto the sublane dim for whole-rows DMA slicing
     fx = fx.reshape(S, -1, Zp)
@@ -96,12 +105,14 @@ def sweep_global_pallas(
     fv = fv.reshape(S, -1, Zp)
 
     def kernel(fxh, fyh, fzh, fvh, out_ref, sx, sy, sz, sv, sems):
-        r_hbm = pl.program_id(0) * (TX * Yp)
+        # rows [x*Yp + y0, x*Yp + y0 + R): the (o0, o1) window of this
+        # step's tile then lives at STATIC in-scratch offset o0*Yp + o1
+        r_hbm = pl.program_id(0) * Yp + pl.program_id(1) * Y_BLK
         copies = []
         for s in range(S):
             for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh), (sv, fvh)):
                 dma = pltpu.make_async_copy(
-                    hbm.at[s, pl.ds(r_hbm, win_x * Yp)],
+                    hbm.at[s, pl.ds(r_hbm, R)],
                     scr.at[s],
                     sems.at[len(copies)],
                 )
@@ -110,7 +121,7 @@ def sweep_global_pallas(
         for dma in copies:
             dma.wait()
 
-        acc = jnp.zeros((TXY, Zo), dtype)
+        acc = jnp.zeros((Y_BLK, Zo), dtype)
         for s in range(S):
             prev_o0 = None
             dxsq = vy = vz = vv = None
@@ -119,27 +130,27 @@ def sweep_global_pallas(
                     # hoist the per-o0 loads + x-term square over the whole
                     # (o1, o2) fan: d2 associates as ((wx^2 + wy^2) + wz^2),
                     # so sharing the partial sums is bit-identical to the
-                    # naive form. Ref loads start at o0*Yp (8-aligned: Yp is
-                    # a sublane multiple); the o1 shift happens on the
-                    # loaded VALUE where unaligned slicing is legal.
+                    # naive form. Loads start 8-aligned at o0*Yp (Yp is a
+                    # sublane multiple); the o1 shift slices the loaded
+                    # VALUE, where unaligned sublane slicing is legal.
                     base = o0 * Yp
-                    vx = sx[s, base : base + ext, :]
+                    vx = sx[s, base : base + ext_rows, :]
                     wx = vx + ((o0 - p) * cs)
                     dxsq = wx * wx
-                    vy = sy[s, base : base + ext, :]
-                    vz = sz[s, base : base + ext, :]
-                    vv = sv[s, base : base + ext, :]
+                    vy = sy[s, base : base + ext_rows, :]
+                    vz = sz[s, base : base + ext_rows, :]
+                    vv = sv[s, base : base + ext_rows, :]
                     prev_o0 = o0
-                wy = vy[o1 : o1 + TXY, :] + ((o1 - p) * cs)
-                A = dxsq[o1 : o1 + TXY, :] + wy * wy  # (TXY, Zp)
-                vz1 = vz[o1 : o1 + TXY, :]
-                vv1 = vv[o1 : o1 + TXY, :]
+                wy = vy[o1 : o1 + Y_BLK, :] + ((o1 - p) * cs)
+                A = dxsq[o1 : o1 + Y_BLK, :] + wy * wy  # (Y_BLK, Zp)
+                vz1 = vz[o1 : o1 + Y_BLK, :]
+                vv1 = vv[o1 : o1 + Y_BLK, :]
                 for o2 in o2s:
                     # z window: a lane slice when it fits inside Zp, else a
                     # lane roll (the tile-aligned Zo output can reach up to
                     # 2p-1 lanes past Zp; wrapped lanes only land in the
-                    # cropped [PZ, Zo) region — valid lanes l+o2 <= ncz+2p-1
-                    # < Zp never see them).
+                    # cropped [PZ, Zo) region — valid lanes l+o2 <=
+                    # ncz+2p-1 < Zp never see them).
                     if o2 + Zo <= Zp:
                         lwin = lambda v: v[:, o2 : o2 + Zo]
                     else:
@@ -150,32 +161,29 @@ def sweep_global_pallas(
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
                     acc = acc + (a * a * a - 4.0 * (b * b * b)) * lwin(vv1)
-        out_ref[...] = (acc * sigma).reshape(TX, Yp, Zo)
+        out_ref[0] = acc * sigma
 
     # The output block must be (8, 128)-tile aligned in BOTH minor dims:
     # an unaligned (1, PY, PZ) block silently mis-stored the final partial
     # tile of the last grid step (wrong values in the last (x, y) row at 2M
-    # scale; reproduced with a single far-corner particle). The (TX, Yp, Zo)
-    # block accumulates over the padded rows/lanes too — raster pads hold
-    # inf-fracs / 0-values, so they compute to exactly 0 — and the cropped
-    # view drops them. Sublane (y) windows slice, so Yp must cover the
-    # valid rows' reach PY + 2p - 1 (rasterize_global guarantees it); lane
-    # (z) windows roll when the slice would overrun Zp.
-    Zo = -(-PZ // 128) * 128
-    assert Yp >= PY + 2 * p - 1 and Zp >= Zo, (Yp, Zp, p, PY, Zo)
+    # scale; reproduced with a single far-corner particle). The
+    # (1, Y_BLK, Zo) block accumulates over padded rows/lanes too — raster
+    # pads hold inf-fracs / 0-values, so they compute to exactly 0 — and
+    # the cropped view drops them.
+    assert Zp >= Zo, (Zp, Zo)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(PX, n_yt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (TX, Yp, Zo), lambda x: (x, 0, 0), memory_space=pltpu.VMEM
+            (1, Y_BLK, Zo), lambda x, yt: (x, yt, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TX, Yp, Zo), dtype),
+        out_shape=jax.ShapeDtypeStruct((PX, n_yt * Y_BLK, Zo), dtype),
         scratch_shapes=[
-            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
-            pltpu.VMEM((S, win_x * Yp, Zp), dtype),
+            pltpu.VMEM((S, R, Zp), dtype),
+            pltpu.VMEM((S, R, Zp), dtype),
+            pltpu.VMEM((S, R, Zp), dtype),
+            pltpu.VMEM((S, R, Zp), dtype),
             pltpu.SemaphoreType.DMA((4 * S,)),
         ],
         compiler_params=(
