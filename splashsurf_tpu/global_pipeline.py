@@ -28,6 +28,7 @@ SPECULATION_STATS = {
     "density_miss": 0,
     "grid_miss": 0,
     "caps_retry": 0,
+    "overflow_retry": 0,
 }
 
 
@@ -140,7 +141,10 @@ def _try_warm_frame(
     if nv_b > vcap or nc_b > tcap:
         return None
     backend = "pallas" if jax.default_backend() == "tpu" else "scan"
-    ofc = gs._pow2(int(positions.shape[0]) // 64, lo=4096)
+    okey = (grid.n_points, int(positions.shape[0]))
+    ofc = gs._OVER_PLAN.get(okey)
+    if ofc is None:
+        ofc = gs._pow2(int(positions.shape[0]) // 64, lo=4096)
 
     with profile("warm frame dispatch"):
         nvj = jnp.asarray(
@@ -176,9 +180,13 @@ def _try_warm_frame(
         neighbors.clear_density_plan()
         return None
     if total_over > ofc:
-        raise RuntimeError(
-            f"raster overflow {total_over} exceeds capacity {ofc}"
+        # overflow-capacity plan miss: grow the plan and fall back to the
+        # default path, whose retry loop re-rasterizes at the new capacity
+        gs._OVER_PLAN[okey] = min(
+            gs._pow2(total_over * 2, lo=4096),
+            gs._pow2(int(positions.shape[0])),
         )
+        return None
     if total_v > vcap or total_t > tcap:
         gs._MC_CAPS[key] = (
             gs._bucket16(total_v * 5 // 4), gs._bucket16(total_t * 5 // 4)
@@ -195,6 +203,7 @@ def _try_warm_frame(
     gs._PULL_PLAN_ENC[key] = (
         min(vcap, gs._bucket16(total_v)), min(tcap, gs._bucket16(total_c))
     )
+    gs._note_overflow_plan(okey, total_over)
     with profile("decode mesh"):
         from splashsurf_tpu import native
 

@@ -264,6 +264,10 @@ def sweep_global(
 
         acc, _ = jax.lax.scan(body, jnp.zeros((PX, PY, PZ), dtype), offs_j)
 
+    if opx.shape[0] == 0:
+        # overflow capacity 0 (speculative plan: previous frame had no
+        # raster overflow) — the scatter is statically absent
+        return acc.reshape(PX, PY, PZ)
     out_flat = _scatter_splat_points(
         opx, opy, opz, oval, grid, compact_support_radius, hsc,
         acc.reshape(-1),
@@ -618,6 +622,16 @@ _PULL_PLAN: dict = {}
 # dict so the two bucket semantics never alias each other's plans.
 _PULL_PLAN_ENC: dict = {}
 
+# Per-(grid shape, n) speculative raster-overflow capacity. Cold frames use
+# the conservative n//64 bound; every frame pulls the true overflow count
+# anyway, so warm frames rasterize with a bucket fitted to the PREVIOUS
+# frame's count — usually 0, which skips _scatter_splat_points entirely
+# (measured 189 ms/frame at the 2M bench scattering 32,768 dummy rows over
+# ~384 stencil offsets while the true count was 0). A fluctuating scene
+# that overflows past its plan costs one re-rasterized frame (retry below),
+# and the plan only ever grows on a miss, so thrash is bounded.
+_OVER_PLAN: dict = {}
+
 
 class SpeculationMiss(RuntimeError):
     """One of the caller's deferred speculative checks pulled False.
@@ -831,28 +845,71 @@ def reconstruct_global_dense(
     n = positions.shape[0]
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
-    overflow_capacity = _pow2(n // 64, lo=4096)
+    okey = (grid.n_points, int(n))
+    ocap = _OVER_PLAN.get(okey)
+    if ocap is None:
+        ocap = _pow2(n // 64, lo=4096)
     lane_align = 128 if backend.startswith("pallas") else 1
 
-    with profile("rasterize"):
-        fx, fy, fz, fv, opx, opy, opz, oval, n_over = _sync(rasterize_global(
-            positions, values, grid, slots, hsc, overflow_capacity,
-            lane_align=lane_align,
-        ))
-    with profile("levelset sweep"):
-        ls = _sync(sweep_global(
-            fx, fy, fz, fv, opx, opy, opz, oval, grid,
-            float(compact_support_radius), hsc, backend,
-        ))
-    del fx, fy, fz, fv
+    for _overflow_attempt in range(4):
+        with profile("rasterize"):
+            fx, fy, fz, fv, opx, opy, opz, oval, n_over = _sync(rasterize_global(
+                positions, values, grid, slots, hsc, ocap,
+                lane_align=lane_align,
+            ))
+        with profile("levelset sweep"):
+            ls = _sync(sweep_global(
+                fx, fy, fz, fv, opx, opy, opz, oval, grid,
+                float(compact_support_radius), hsc, backend,
+            ))
+        del fx, fy, fz, fv
 
-    key = (grid.n_points, str(ls.dtype))
-    caps = _MC_CAPS.get(key)
-    if caps is None:
-        with profile("mc counts"):
-            nv, nt = mc_dense._mc_counts(ls, jnp.asarray(iso, ls.dtype))
-            caps = (_bucket16(int(nv) * 5 // 4), _bucket16(int(nt) * 5 // 4))
-            _MC_CAPS[key] = caps
+        key = (grid.n_points, str(ls.dtype))
+        caps = _MC_CAPS.get(key)
+        if caps is None:
+            with profile("mc counts"):
+                nv, nt = mc_dense._mc_counts(ls, jnp.asarray(iso, ls.dtype))
+                caps = (_bucket16(int(nv) * 5 // 4), _bucket16(int(nt) * 5 // 4))
+                _MC_CAPS[key] = caps
+
+        out = _finish_global_dense(
+            ls, grid, iso, caps, key, okey, ocap, n_over, deferred_checks,
+            _sync, profile,
+        )
+        if out is not None:
+            return out
+        # overflow-capacity miss: the level set is missing the splats of
+        # the dropped overflow particles — regrow the plan and re-rasterize
+        from splashsurf_tpu.global_pipeline import SPECULATION_STATS
+
+        SPECULATION_STATS["overflow_retry"] += 1
+        ocap = min(_pow2(_LAST_OVERFLOW[0] * 2, lo=4096), _pow2(n))
+        _OVER_PLAN[okey] = ocap
+    raise RuntimeError(
+        f"raster overflow exceeded capacity {ocap} after retries"
+    )
+
+
+# Side-channel for the overflow-miss retry (single-threaded orchestration).
+_LAST_OVERFLOW = [0]
+
+
+def _note_overflow_plan(okey, total_over: int) -> None:
+    """Fit the next frame's overflow capacity to this frame's true count."""
+    _OVER_PLAN[okey] = 0 if total_over == 0 else _pow2(total_over * 2, lo=1024)
+
+
+def _finish_global_dense(
+    ls, grid, iso, caps, key, okey, overflow_capacity, n_over,
+    deferred_checks, _sync, profile,
+):
+    """MC + pull for the dense global path.
+
+    Returns the (vertices, triangles) result, or None when the frame's true
+    raster-overflow count exceeded ``overflow_capacity`` (caller re-rasters
+    with a larger plan).
+    """
+    import os
 
     # Transfer modes (SPLASHSURF_TPU_PULL):
     #   "encoded" (default): ship only (t, cells, cases) — ~5x fewer link
@@ -904,10 +961,8 @@ def reconstruct_global_dense(
                 if not all(flags):
                     raise SpeculationMiss(flags)
                 if total_over > overflow_capacity:
-                    raise RuntimeError(
-                        f"raster overflow {total_over} exceeds capacity "
-                        f"{overflow_capacity}; increase slots"
-                    )
+                    _LAST_OVERFLOW[0] = total_over
+                    return None
                 if total_v > vcap or total_t > tcap:
                     from splashsurf_tpu.global_pipeline import SPECULATION_STATS
 
@@ -937,6 +992,7 @@ def reconstruct_global_dense(
                     dec = _decode_cellwise_mesh(
                         pt_, pc_, pcs_, total_v, total_t, total_c, grid
                     )
+            _note_overflow_plan(okey, total_over)
             return dec
 
         with profile("marching cubes"):
@@ -968,10 +1024,8 @@ def reconstruct_global_dense(
             if not all(flags):
                 raise SpeculationMiss(flags)
             if total_over > overflow_capacity:
-                raise RuntimeError(
-                    f"raster overflow {total_over} exceeds capacity "
-                    f"{overflow_capacity}; increase slots"
-                )
+                _LAST_OVERFLOW[0] = total_over
+                return None
             if total_v > vcap or total_t > tcap:
                 from splashsurf_tpu.global_pipeline import SPECULATION_STATS
 
@@ -987,6 +1041,7 @@ def reconstruct_global_dense(
                 pv, pt = _pack_mesh(*out[:6], nv=nv_b, nt=nt_b)
                 pv, pt = jax.device_get((pv, pt))
             _PULL_PLAN[key] = (nv_b, nt_b)
+        _note_overflow_plan(okey, total_over)
         verts = np.ascontiguousarray(pv.T[:total_v])
         tris = np.ascontiguousarray(pt.T[:total_t]).astype(np.int32)
         return verts, tris
