@@ -26,6 +26,25 @@ from splashsurf_tpu import kernels
 _INT32_MAX = np.int32(2**31 - 1)
 
 
+def _bucket_lattice_dim(n: int) -> int:
+    """Round a bin-lattice dimension up to its compile-shape bucket.
+
+    Every distinct lattice shape is a distinct XLA (seconds) or Mosaic
+    (minutes, over the remote tunnel) compile of the density sweep.
+    Bucketing to 32 steps/octave (<= ~3.1% padding per dim, <= ~10% extra
+    lattice volume) collapses the shape space so nearby frames/datasets
+    reuse compiled programs. Padded bins lie beyond the particle AABB
+    margin: they are empty, hold inf bin fractions (kernel weight 0), and
+    never change densities. Disable with SPLASHSURF_TPU_LATTICE_BUCKET=0.
+    """
+    import os
+
+    if os.environ.get("SPLASHSURF_TPU_LATTICE_BUCKET", "1") == "0" or n <= 4:
+        return n
+    step = max(2, 1 << max(n.bit_length() - 6, 1))
+    return -(-n // step) * step
+
+
 @dataclasses.dataclass(frozen=True)
 class BinGrid:
     """Uniform binning lattice (host-static dims, hashable for jit)."""
@@ -39,6 +58,7 @@ class BinGrid:
         mn = np.asarray(aabb_min, dtype=np.float64) - bin_size
         mx = np.asarray(aabb_max, dtype=np.float64) + bin_size
         dims = np.maximum(np.ceil((mx - mn) / bin_size).astype(np.int64), 1)
+        dims = [_bucket_lattice_dim(int(d)) for d in dims]
         total = int(dims[0]) * int(dims[1]) * int(dims[2])
         if total >= 2**31:
             raise ValueError(
@@ -958,7 +978,7 @@ def compute_particle_densities(
         grid2 = BinGrid(
             min=tuple(m - half for m in grid.min),
             bin_size=grid.bin_size,
-            dims=tuple(d + 1 for d in grid.dims),
+            dims=tuple(_bucket_lattice_dim(d + 1) for d in grid.dims),
         )
         cl2, stats2 = _build_cell_list_with_stats(
             positions, grid2, n_valid=nv, has_n_valid=has_nv

@@ -60,17 +60,19 @@ def _grid_check_jit():
     import jax
 
     return jax.jit(
-        _grid_check_device_impl, static_argnames=("grid", "grow")
+        _grid_check_device_impl, static_argnames=("grid", "grow", "raw_nc")
     )
 
 
-def _grid_check_device(positions, grid: UniformGrid, grow: float):
+def _grid_check_device(positions, grid: UniformGrid, grow: float, raw_nc):
     """Jitted device bool (one dispatch — eager jnp ops would each pay a
     tunnel round trip)."""
-    return _grid_check_jit()(positions, grid=grid, grow=float(grow))
+    return _grid_check_jit()(
+        positions, grid=grid, grow=float(grow), raw_nc=tuple(raw_nc)
+    )
 
 
-def _grid_check_device_impl(positions, grid: UniformGrid, grow: float):
+def _grid_check_device_impl(positions, grid: UniformGrid, grow: float, raw_nc=None):
     """Device bool: would ``grid_for_reconstruction`` on these positions
     reproduce ``grid``? Conservative: alignment quantities landing within
     1e-3 cells of an integer boundary (where f32 device math could disagree
@@ -92,7 +94,10 @@ def _grid_check_device_impl(positions, grid: UniformGrid, grow: float):
     exp_mi = jnp.asarray(
         np.round(np.asarray(grid.min) / grid.cell_size), dt
     )
-    exp_nc = jnp.asarray(grid.n_cells, dt)
+    # compare against the RAW (pre-bucketing) cell counts: the plan's grid
+    # dims are padded to compile-shape buckets (_bucket_grid), but the AABB
+    # recompute below reproduces the unpadded counts
+    exp_nc = jnp.asarray(raw_nc if raw_nc is not None else grid.n_cells, dt)
     # "unsafe" band where f32 device math could floor/ceil differently from
     # the host's f64: 16 ulps covers the ~5-op rounding chain with margin.
     # (An absolute 1e-3 band misfired: a dam-break whose extent lands
@@ -127,6 +132,32 @@ def grid_for_reconstruction(
     margin = kernel_extents(compact_support_radius, cube_size).kernel_evaluation_radius
     aabb = aabb.grow_uniformly(margin)
     return UniformGrid.from_aabb(aabb, cube_size)
+
+
+def _bucket_grid_dim(n: int) -> int:
+    """Round a grid dimension up to its compile-shape bucket.
+
+    Remote TPU compiles cost minutes per distinct grid shape; bucketing to
+    16 steps per octave (step = octave/16, floored at 8 cells) collapses
+    the shape space so nearby datasets/resolutions reuse compiled programs
+    while padding the cell count by < 6.25% per dimension. Padded cells sit
+    beyond the particle AABB margin, hold zero density, and produce no
+    surface — the mesh is geometrically identical (triangle ORDER may
+    differ because flat cell indices shift; tests assert set-equality).
+    """
+    step = max(8, 1 << max(n.bit_length() - 5, 3))
+    return -(-n // step) * step
+
+
+def _bucket_grid(grid: UniformGrid) -> UniformGrid:
+    import os
+
+    if os.environ.get("SPLASHSURF_TPU_GRID_BUCKET", "1") == "0":
+        return grid
+    dims = tuple(_bucket_grid_dim(int(c)) for c in grid.n_cells)
+    if dims == grid.n_cells:
+        return grid
+    return UniformGrid(min=grid.min, cell_size=grid.cell_size, n_cells=dims)
 
 
 def _global_dense_max_cells() -> int:
@@ -196,14 +227,14 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
         )
         grid_check = None
         if use_cached_grid:
-            grid = _GRID_PLAN[gkey]
+            grid, raw_nc = _GRID_PLAN[gkey]
             grow = (
                 parameters.particle_radius
                 + kernel_extents(
                     parameters.compact_support_radius, parameters.cube_size
                 ).kernel_evaluation_radius
             )
-            grid_check = _grid_check_device(base_positions, grid, grow)
+            grid_check = _grid_check_device(base_positions, grid, grow, raw_nc)
         else:
             grid = grid_for_reconstruction(
                 base_positions,
@@ -212,6 +243,8 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
                 parameters.cube_size,
                 parameters.particle_aabb,
             )
+            raw_nc = grid.n_cells
+            grid = _bucket_grid(grid)
         particle_positions = base_positions
 
         # Bucket the particle count so animation sequences with varying N
@@ -312,10 +345,10 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
                     _PENDING_NOSPEC[gkey] = _GRID_MISSED_WITH
                 continue
             if gkey is not None:
-                if _PENDING_NOSPEC.pop(gkey, None) == grid:
+                if _PENDING_NOSPEC.pop(gkey, None) == (grid, raw_nc):
                     _GRID_NOSPEC.add(gkey)
                 else:
-                    _GRID_PLAN[gkey] = grid
+                    _GRID_PLAN[gkey] = (grid, raw_nc)
         break
     assert rec is not None
 
