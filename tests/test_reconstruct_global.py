@@ -217,3 +217,76 @@ class TestDatasetMatrix:
         rec = st.reconstruct_surface(pts, params)
         assert rec.mesh.num_triangles > 20_000
         assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+
+class TestOverflowPlan:
+    def test_plan_fits_then_retries_on_miss(self, data_dir):
+        """The speculative raster-overflow capacity fits to the observed
+        count (0 for a typical scene -> the overflow scatter is statically
+        skipped), and a later frame that DOES overflow past the plan is
+        re-rasterized, not silently dropped."""
+        from splashsurf_tpu.global_pipeline import SPECULATION_STATS
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        gs._OVER_PLAN.clear()
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        pts = np.asarray(pts)
+        params = _global_params(0.025, 4.0, 1.1)
+        rec0 = st.reconstruct_surface(pts, params)
+        assert 0 in gs._OVER_PLAN.values(), gs._OVER_PLAN
+        # warm frame with capacity 0: identical mesh
+        rec1 = st.reconstruct_surface(pts, params)
+        assert rec1.mesh.num_triangles == rec0.mesh.num_triangles
+
+        # collapse 64 particles onto one point: raster rank overflows the
+        # slot budget, the 0-capacity plan misses, the frame must retry
+        pts_over = pts.copy()
+        pts_over[:64] = pts_over[64]
+        before = SPECULATION_STATS["overflow_retry"]
+        rec2 = st.reconstruct_surface(pts_over, params)
+        assert SPECULATION_STATS["overflow_retry"] > before
+        # correctness vs a cold frame at conservative capacity
+        gs._OVER_PLAN.clear()
+        rec_ref = st.reconstruct_surface(pts_over, params)
+        assert rec2.mesh.num_vertices == rec_ref.mesh.num_vertices
+        assert rec2.mesh.num_triangles == rec_ref.mesh.num_triangles
+
+
+class TestGridBucketing:
+    def test_bucket_ladder(self):
+        from splashsurf_tpu.reconstruction import _bucket_grid_dim
+
+        # <= 6.25% padding, monotone, idempotent, step >= 8
+        for n in [1, 7, 8, 9, 100, 127, 128, 129, 300, 1000, 4097]:
+            b = _bucket_grid_dim(n)
+            assert b >= n and b % 8 == 0
+            assert b <= max(-(-n // 8) * 8, int(n * 1.0625) + 8)
+            assert _bucket_grid_dim(b) == b
+        # distinct shapes per octave is bounded (compile-cache reuse)
+        octave = {_bucket_grid_dim(n) for n in range(512, 1024)}
+        assert len(octave) <= 17
+
+    def test_bucketing_preserves_geometry(self, data_dir, monkeypatch):
+        from splashsurf_tpu import reconstruction as rc
+
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        params = _global_params(0.025, 4.0, 1.1)
+        rec_b = st.reconstruct_surface(pts, params)
+        monkeypatch.setenv("SPLASHSURF_TPU_GRID_BUCKET", "0")
+        rec_r = st.reconstruct_surface(pts, params)
+        assert any(
+            b != r for b, r in zip(rec_b.grid.n_cells, rec_r.grid.n_cells)
+        ), "fixture does not exercise bucketing"
+        # identical geometry as a SET: padded cells shift flat cell indices,
+        # so vertex/triangle ORDER may differ
+        assert rec_b.mesh.num_vertices == rec_r.mesh.num_vertices
+        assert rec_b.mesh.num_triangles == rec_r.mesh.num_triangles
+        vb = np.asarray(rec_b.mesh.vertices, np.float64)
+        vr = np.asarray(rec_r.mesh.vertices, np.float64)
+        sb = vb[np.lexsort(vb.T)]
+        sr = vr[np.lexsort(vr.T)]
+        np.testing.assert_allclose(sb, sr, rtol=0, atol=1e-6)
