@@ -631,6 +631,59 @@ def _overflow_correction(
     return rho
 
 
+def _raster_sweep_xla(rasters, LX, Yp, Zp, bs, h):
+    """Dense 27-offset bin sweep over rasterized fracs (XLA formulation).
+
+    ``rasters``: 3 per-component frac arrays of shape (slots, LX+2, Yp, Zp)
+    (+inf in empty slots). Returns acc (slots, LX, LY*Zp) — per query-slot
+    kernel sums over every source slot of the 27 neighbor bins. Shared by
+    the single-device raster path and the sharded x-slab path
+    (parallel/density.py), whose bit-identity depends on this exact
+    accumulation order.
+    """
+    slots = rasters[0].shape[0]
+    dtype = rasters[0].dtype
+    LY = Yp - 2
+    W = LY * Zp
+    # +2 tail lanes: the widest window (shift 2*Zp+2, width W) ends
+    # exactly 2 lanes past Yp*Zp
+    flat = [
+        jnp.pad(
+            r.reshape(slots, LX + 2, Yp * Zp),
+            ((0, 0), (0, 0), (0, 2)),
+            constant_values=jnp.inf,
+        )
+        for r in rasters
+    ]
+    fq = [r[:, 1 : 1 + LX, Zp + 1 : Zp + 1 + W] for r in flat]
+    acc = jnp.zeros((slots, LX, W), dtype)
+    for o0 in (0, 1, 2):
+        for o1 in (0, 1, 2):
+            for o2 in (0, 1, 2):
+                shift = o1 * Zp + o2
+                wins = [
+                    flat[d][:, o0 : o0 + LX, shift : shift + W]
+                    for d in range(3)
+                ]
+                # explicit source-slot loop: leading-dim broadcasts of
+                # (LX, W) against (slots, LX, W) vectorize far better
+                # than the (q, s, LX, W) outer-product blocks XLA built
+                # for the fused form
+                for kj in range(slots):
+                    d2 = jnp.zeros((slots, LX, W), dtype)
+                    for d, od in enumerate((o0, o1, o2)):
+                        # empty slots: inf fracs -> d2 = inf -> W = 0
+                        # exactly; NaNs (inf - inf) only reach empty
+                        # *query* slots, which the readback never reads.
+                        diff = fq[d] - (
+                            wins[d][kj]
+                            + jnp.asarray(od - 1, dtype) * bs
+                        )[None]
+                        d2 = d2 + diff * diff
+                    acc = acc + kernels.cubic_kernel(jnp.sqrt(d2), h)
+    return acc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -753,42 +806,7 @@ def compute_particle_densities_raster(
         acc_flat = (acc_p[:, :LX, :] * sigma).reshape(-1)
         src = jnp.where(ok, (slot * LX + bx) * Wout + by * Zp + bz, 0)
     else:
-        # +2 tail lanes: the widest window (shift 2*Zp+2, width W) ends
-        # exactly 2 lanes past Yp*Zp
-        flat = [
-            jnp.pad(
-                r.reshape(slots, Xp, Yp * Zp),
-                ((0, 0), (0, 0), (0, 2)),
-                constant_values=jnp.inf,
-            )
-            for r in rasters
-        ]
-        fq = [r[:, 1 : 1 + LX, Zp + 1 : Zp + 1 + W] for r in flat]
-        acc = jnp.zeros((slots, LX, W), dtype)
-        for o0 in (0, 1, 2):
-            for o1 in (0, 1, 2):
-                for o2 in (0, 1, 2):
-                    shift = o1 * Zp + o2
-                    wins = [
-                        flat[d][:, o0 : o0 + LX, shift : shift + W]
-                        for d in range(3)
-                    ]
-                    # explicit source-slot loop: leading-dim broadcasts of
-                    # (LX, W) against (slots, LX, W) vectorize far better
-                    # than the (q, s, LX, W) outer-product blocks XLA built
-                    # for the fused form
-                    for kj in range(slots):
-                        d2 = jnp.zeros((slots, LX, W), dtype)
-                        for d, od in enumerate((o0, o1, o2)):
-                            # empty slots: inf fracs -> d2 = inf -> W = 0
-                            # exactly; NaNs (inf - inf) only reach empty
-                            # *query* slots, which the readback never reads.
-                            diff = fq[d] - (
-                                wins[d][kj]
-                                + jnp.asarray(od - 1, dtype) * bs
-                            )[None]
-                            d2 = d2 + diff * diff
-                        acc = acc + kernels.cubic_kernel(jnp.sqrt(d2), h)
+        acc = _raster_sweep_xla(rasters, LX, Yp, Zp, bs, h)
         acc_flat = acc.reshape(-1)
         src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
 

@@ -792,12 +792,26 @@ def reconstruct_surface_subdomain_grid(
         nbtab_sh = NamedSharding(dev_mesh, PartitionSpec(None, "sub"))
         repl_sh = NamedSharding(dev_mesh, PartitionSpec())
 
-    # 1. global per-particle densities
+    # 1. global per-particle densities. On a multi-device mesh this stage
+    # runs sharded over x-slabs of the bin lattice (parallel/density.py:
+    # all_to_all particle routing, O(N/D) per-device arrays) and is
+    # bit-identical to the single-device raster path — the replicated
+    # full-N pass only remains for single-device runs.
     with profile("compute particle densities"):
-        rho = neighbors.compute_particle_densities(
-            positions, support, parameters.particle_rest_mass,
-            n_valid=n_valid,
-        )
+        if dev_mesh is not None:
+            from splashsurf_tpu.parallel.density import (
+                compute_particle_densities_sharded,
+            )
+
+            rho = compute_particle_densities_sharded(
+                positions, support, parameters.particle_rest_mass,
+                mesh=dev_mesh, n_valid=n_valid,
+            )
+        else:
+            rho = neighbors.compute_particle_densities(
+                positions, support, parameters.particle_rest_mass,
+                n_valid=n_valid,
+            )
         if _PROFILE_SYNC:
             rho.block_until_ready()
     values = jnp.asarray(parameters.particle_rest_mass, dtype) / rho
