@@ -250,8 +250,8 @@ def main():
         ]
         jax.block_until_ready(seq)
         t0 = time.perf_counter()
-        for fr in seq:
-            rec = st.reconstruct_surface(fr, params)
+        for rec in st.reconstruct_sequence(seq, params):
+            assert rec.mesh.num_triangles > 0
         dt = time.perf_counter() - t0
         print(
             json.dumps(

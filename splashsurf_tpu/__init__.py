@@ -36,6 +36,7 @@ from splashsurf_tpu.mesh import (
 )
 from splashsurf_tpu.reconstruction import (
     reconstruct_surface,
+    reconstruct_sequence,
     SurfaceReconstruction,
     grid_for_reconstruction,
 )
@@ -127,6 +128,7 @@ __all__ = [
     "MeshAttribute",
     "check_mesh_consistency",
     "reconstruct_surface",
+    "reconstruct_sequence",
     "SurfaceReconstruction",
     "grid_for_reconstruction",
     "reconstruction_pipeline",

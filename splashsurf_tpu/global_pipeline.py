@@ -228,8 +228,10 @@ def reconstruct_surface_global(
     particle_inside_aabb: Optional[np.ndarray] = None,
     grid_check=None,
     n_valid: Optional[int] = None,
+    defer_pull: bool = False,
 ) -> SurfaceReconstruction:
     from splashsurf_tpu.ops.global_sweep import (
+        PendingPull,
         SpeculationMiss,
         reconstruct_global_dense,
     )
@@ -290,7 +292,7 @@ def reconstruct_surface_global(
             checks.append(grid_check)
             labels.append("grid")
         try:
-            verts, tris = reconstruct_global_dense(
+            out = reconstruct_global_dense(
                 positions,
                 values,
                 grid,
@@ -298,7 +300,19 @@ def reconstruct_surface_global(
                 hsc,
                 parameters.iso_surface_threshold,
                 deferred_checks=tuple(checks),
+                defer_pull=defer_pull,
+                check_labels=tuple(labels),
             )
+            if isinstance(out, PendingPull):
+                rec = SurfaceReconstruction(
+                    grid=grid,
+                    mesh=None,
+                    particle_densities=rho,
+                    particle_inside_aabb=particle_inside_aabb,
+                )
+                rec._pending_mesh = out
+                return rec
+            verts, tris = out
             break
         except SpeculationMiss as e:
             failed = {

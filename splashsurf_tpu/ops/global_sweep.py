@@ -821,11 +821,14 @@ def reconstruct_global_dense(
     slots: int = 2,
     backend: str | None = None,
     deferred_checks: tuple = (),
+    defer_pull: bool = False,
+    check_labels: tuple = (),
 ):
     """Full dense-grid reconstruction. Returns (vertices (V,3), triangles (T,3)).
 
     ``positions``/``values`` may include out-of-grid padding dummies (they
-    are dropped by the rasterizer).
+    are dropped by the rasterizer). With ``defer_pull`` on a fully-warm
+    frame, returns a :class:`PendingPull` instead (sequence pipelining).
     """
     import os
 
@@ -874,7 +877,7 @@ def reconstruct_global_dense(
 
         out = _finish_global_dense(
             ls, grid, iso, caps, key, okey, ocap, n_over, deferred_checks,
-            _sync, profile,
+            _sync, profile, defer_pull=defer_pull, check_labels=check_labels,
         )
         if out is not None:
             return out
@@ -890,6 +893,81 @@ def reconstruct_global_dense(
     )
 
 
+def _defer_encoded_pull(
+    t_s, cells_s, cases_s, tv_d, tt_d, tc_d, n_over, deferred_checks,
+    check_labels, plan, caps, key, okey, overflow_capacity, grid,
+):
+    """Build the PendingPull for a fully-warm encoded-transfer frame.
+
+    The resolver mirrors the synchronous validation/plan-update sequence of
+    ``_finish_global_dense`` exactly; any miss updates the relevant plan and
+    reports "redo" so the sequence driver re-runs the frame synchronously
+    (misses are rare by construction — plans only exist after a fit).
+    """
+    nv_b, nc_b = plan
+    vcap, tcap = caps
+    pt_d, pc_d, pcs_d = _pack_cellwise(t_s, cells_s, cases_s, nv=nv_b, nc=nc_b)
+    arrs = (
+        (tv_d, tt_d, tc_d, n_over)
+        + tuple(deferred_checks)
+        + (pt_d, pc_d, pcs_d)
+    )
+
+    def resolve():
+        from splashsurf_tpu.global_pipeline import SPECULATION_STATS
+        from splashsurf_tpu import neighbors
+
+        pulled = jax.device_get(arrs)
+        total_v, total_t, total_c, total_over = (int(x) for x in pulled[:4])
+        flags = [bool(c) for c in pulled[4:-3]]
+        pt_, pc_, pcs_ = pulled[-3:]
+        if not all(flags):
+            failed = {
+                check_labels[i] for i, ok in enumerate(flags) if not ok
+            }
+            if "grid" in failed:
+                SPECULATION_STATS["grid_miss"] += 1
+                return ("redo_grid",)
+            SPECULATION_STATS["density_miss"] += 1
+            neighbors.clear_density_plan()
+            return ("redo",)
+        if total_over > overflow_capacity:
+            SPECULATION_STATS["overflow_retry"] += 1
+            _OVER_PLAN[okey] = _pow2(total_over * 2, lo=4096)
+            return ("redo",)
+        if total_v > vcap or total_t > tcap:
+            SPECULATION_STATS["caps_retry"] += 1
+            _MC_CAPS[key] = (
+                _bucket16(total_v * 5 // 4), _bucket16(total_t * 5 // 4)
+            )
+            _PULL_PLAN_ENC.pop(key, None)
+            return ("redo",)
+        nv2 = min(vcap, _bucket16(total_v))
+        nc2 = min(tcap, _bucket16(total_c))
+        if total_v > pt_.shape[0] or total_c > pc_.shape[0]:
+            # transfer-bucket miss: repack exactly (one extra round trip)
+            pt_, pc_, pcs_ = jax.device_get(
+                _pack_cellwise(t_s, cells_s, cases_s, nv=nv2, nc=nc2)
+            )
+        _PULL_PLAN_ENC[key] = (nv2, nc2)
+        _note_overflow_plan(okey, total_over)
+        from splashsurf_tpu import native
+
+        dec = None
+        if pt_.dtype == np.float32:
+            dec = native.mc_decode(
+                pt_, pc_, pcs_, total_v, total_t, total_c,
+                grid.n_points[1], grid.n_points[2], grid.min, grid.cell_size,
+            )
+        if dec is None:
+            dec = _decode_cellwise_mesh(
+                pt_, pc_, pcs_, total_v, total_t, total_c, grid
+            )
+        return ("ok",) + tuple(dec)
+
+    return PendingPull(resolve, arrs)
+
+
 # Side-channel for the overflow-miss retry (single-threaded orchestration).
 _LAST_OVERFLOW = [0]
 
@@ -899,15 +977,41 @@ def _note_overflow_plan(okey, total_over: int) -> None:
     _OVER_PLAN[okey] = 0 if total_over == 0 else _pow2(total_over * 2, lo=1024)
 
 
+class PendingPull:
+    """A dispatched-but-not-pulled warm frame (sequence pipelining).
+
+    ``resolve()`` performs the one deferred host round trip, runs the same
+    plan validations as the synchronous path (updating the speculation
+    plans on a miss exactly as it would), and returns either
+    ``("ok", verts, tris)`` or ``("redo",)`` / ``("redo_grid",)`` — the
+    caller re-runs the frame synchronously on a miss. Device-to-host
+    copies are started asynchronously at construction, so a sequence
+    driver that dispatches frame t+1 before resolving frame t overlaps
+    the mesh transfer with the next frame's compute.
+    """
+
+    def __init__(self, fn, arrs):
+        self._fn = fn
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+
+    def resolve(self):
+        return self._fn()
+
+
 def _finish_global_dense(
     ls, grid, iso, caps, key, okey, overflow_capacity, n_over,
-    deferred_checks, _sync, profile,
+    deferred_checks, _sync, profile, defer_pull=False, check_labels=(),
 ):
     """MC + pull for the dense global path.
 
     Returns the (vertices, triangles) result, or None when the frame's true
     raster-overflow count exceeded ``overflow_capacity`` (caller re-rasters
-    with a larger plan).
+    with a larger plan). With ``defer_pull`` and a fully-warm plan set, the
+    pull is NOT performed: a :class:`PendingPull` is returned instead.
     """
     import os
 
@@ -933,6 +1037,16 @@ def _finish_global_dense(
                     )
                 )
             t_s, cells_s, cases_s, tv_d, tt_d, tc_d = enc
+            if defer_pull:
+                plan = _PULL_PLAN_ENC.get(key)
+                if plan is None or plan[0] > vcap or plan[1] > tcap:
+                    defer_pull = False  # cold frame: pull synchronously
+                else:
+                    return _defer_encoded_pull(
+                        t_s, cells_s, cases_s, tv_d, tt_d, tc_d, n_over,
+                        deferred_checks, check_labels, plan, caps, key, okey,
+                        overflow_capacity, grid,
+                    )
             with profile("pull mesh"):
                 plan = _PULL_PLAN_ENC.get(key)
                 if plan is not None and plan[0] <= vcap and plan[1] <= tcap:

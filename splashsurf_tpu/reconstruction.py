@@ -22,7 +22,13 @@ from splashsurf_tpu.uniform_grid import UniformGrid, kernel_extents
 
 @dataclasses.dataclass
 class SurfaceReconstruction:
-    """Result of a surface reconstruction (lib.rs:246-277)."""
+    """Result of a surface reconstruction (lib.rs:246-277).
+
+    In pipelined sequence mode (:func:`reconstruct_sequence`) the mesh
+    pull may be deferred: ``mesh`` is None until :meth:`resolve` performs
+    the host round trip. The sequence driver always resolves before
+    yielding, so public consumers never observe a pending result.
+    """
 
     grid: UniformGrid
     mesh: TriMesh3d
@@ -30,6 +36,16 @@ class SurfaceReconstruction:
     particle_densities: Optional[np.ndarray] = None
     particle_neighbors: Optional[tuple] = None  # CSR: (offsets, neighbors)
     particle_inside_aabb: Optional[np.ndarray] = None
+    _pending_mesh: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def resolve(self) -> "SurfaceReconstruction":
+        """Finalize a deferred mesh pull (no-op when already resolved)."""
+        if self._pending_mesh is not None:
+            fn, self._pending_mesh = self._pending_mesh, None
+            self.mesh = fn()
+        return self
 
 
 # Speculative background-grid plan: jittered animation frames keep the same
@@ -171,14 +187,22 @@ def _global_dense_max_cells() -> int:
     return int(os.environ.get("SPLASHSURF_TPU_GLOBAL_DENSE_MAX_CELLS", 48_000_000))
 
 
-def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceReconstruction:
+def reconstruct_surface(
+    particle_positions, parameters: Parameters, _defer_pull: bool = False
+) -> SurfaceReconstruction:
     """Reconstruct a closed triangle mesh of the fluid surface.
 
     Dispatches between the global dense pipeline and the subdomain-grid
     pipeline depending on ``parameters.spatial_decomposition`` and the
     auto-disable heuristic (lib.rs:422-443).
+
+    ``_defer_pull`` (internal; used by :func:`reconstruct_sequence`):
+    dispatch the frame's device programs but defer the mesh pull — the
+    returned object must be :meth:`SurfaceReconstruction.resolve`-d.
     """
     import jax
+
+    _orig_input = particle_positions  # for the deferred-miss redo path
 
     # Device arrays stay on device end to end (a frame fed from a previous
     # device computation must not bounce through host memory).
@@ -335,6 +359,8 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
                     particle_positions, parameters, grid,
                     particle_inside_aabb=inside_aabb, grid_check=grid_check,
                     n_valid=n_real if n_padded > n_real else None,
+                    defer_pull=_defer_pull
+                    and not parameters.global_neighborhood_list,
                 )
             except GridPlanMiss:
                 _GRID_MISSED_WITH = _GRID_PLAN.pop(gkey, None)
@@ -362,4 +388,51 @@ def reconstruct_surface(particle_positions, parameters: Parameters) -> SurfaceRe
                 offsets[: n_real + 1],
                 indices[: offsets[n_real]],
             )
+
+    if rec._pending_mesh is not None:
+        # Wrap the dense-path PendingPull: its resolve() validates the
+        # speculation plans (updating them on a miss exactly like the
+        # synchronous path); on a miss the whole frame re-runs through the
+        # synchronous entry point with the original inputs.
+        pending = rec._pending_mesh
+        _gkey, _grid, _raw_nc = gkey, grid, raw_nc
+
+        def _resolve_mesh(rec=rec):
+            out = pending.resolve()
+            if out[0] == "ok":
+                return TriMesh3d(vertices=out[1], triangles=out[2])
+            if out[0] == "redo_grid" and _gkey is not None:
+                missed = _GRID_PLAN.pop(_gkey, None)
+                if missed is not None:
+                    _PENDING_NOSPEC[_gkey] = missed
+            redo = reconstruct_surface(_orig_input, parameters)
+            rec.grid = redo.grid
+            rec.particle_densities = redo.particle_densities
+            return redo.mesh
+
+        rec._pending_mesh = _resolve_mesh
     return rec
+
+
+def reconstruct_sequence(frames, parameters: Parameters):
+    """Pipelined sequence reconstruction (generator over frames).
+
+    Mirrors the reference's multi-frame runner (reconstruct.rs:405-432)
+    with device pipelining instead of a thread pool: frame t+1's device
+    programs are dispatched BEFORE frame t's mesh is pulled, so the mesh
+    transfer/decode of one frame overlaps the next frame's compute (warm
+    frames are dispatch-only thanks to the speculation plans). Yields one
+    resolved :class:`SurfaceReconstruction` per input frame, in order.
+    Set SPLASHSURF_TPU_PIPELINE=0 to force frame-at-a-time execution.
+    """
+    import os
+
+    pipeline = os.environ.get("SPLASHSURF_TPU_PIPELINE", "1") != "0"
+    prev = None
+    for pts in frames:
+        cur = reconstruct_surface(pts, parameters, _defer_pull=pipeline)
+        if prev is not None:
+            yield prev.resolve()
+        prev = cur
+    if prev is not None:
+        yield prev.resolve()
