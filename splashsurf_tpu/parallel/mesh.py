@@ -181,6 +181,65 @@ def sharded_chunk_mc(mesh: Mesh, sd: SubdomainGridParams, vcap_local: int, tcap_
     )
 
 
+@functools.lru_cache(maxsize=32)
+def sharded_scan_splat(
+    mesh: Mesh, sd: SubdomainGridParams, hsc: int, K: int, unroll, kind: str
+):
+    """Sharded chunk-group splat: shard_map over the CHUNK axis, each
+    device scanning its chunks with the SAME (C, K)-shaped scan body as the
+    single-device executor (subdomains._scan_splat). Sharing the scan body
+    keeps the sharded run bit-identical to single-device — scan-compiled
+    bodies round identically across scan lengths and shard_map wrapping
+    (measured), while a standalone jit of the same math may contract
+    FMAs differently."""
+    from jax import shard_map
+    from splashsurf_tpu.subdomains import _scan_splat
+
+    def local(pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
+              rows_mat, support):
+        return _scan_splat(
+            pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
+            rows_mat, sd=sd, support=support, hsc=hsc, K=K, unroll=unroll,
+            kind=kind,
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(),) * 8 + (P("sub"), P()),
+            out_specs=(P("sub"), P("sub")),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_scan_mc(mesh: Mesh, sd: SubdomainGridParams, pack_vc: int, pack_tc: int):
+    """Sharded chunked marching cubes: shard_map over the chunk axis with
+    the single-device scan body (subdomains._scan_chunk_mc). The level-set
+    batch is replicated for the MC stage (arbitrary chunk rows gather from
+    it); the halo stage before it stays sharded."""
+    from jax import shard_map
+    from splashsurf_tpu.subdomains import _scan_chunk_mc
+
+    def local(ls_ext, sub_ijk_ext, rows_mat, iso):
+        return _scan_chunk_mc(
+            ls_ext, sub_ijk_ext, rows_mat, sd=sd, iso=iso,
+            pack_vc=pack_vc, pack_tc=pack_tc,
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(), P(), P("sub"), P()),
+            out_specs=tuple([P("sub")] * 10),
+        )
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sd", "hsc", "vertex_capacity", "triangle_capacity"),

@@ -893,6 +893,10 @@ def reconstruct_surface_subdomain_grid(
             k *= 8
         return k
 
+    # --- chunk planning (host only, no dispatches): same boundaries as the
+    # execution loop this replaces; entries of equal (K, C, kind) form
+    # contiguous groups thanks to the occupancy-ascending order.
+    plan: List[tuple] = []  # (rows (C,), valid_count, K, C, kind)
     i = 0
     while i < B:
         # occupancy-ascending order: shrink the chunk until C*K fits budget
@@ -909,68 +913,91 @@ def reconstruct_surface_subdomain_grid(
             rows = order[i:j]
             K = _k_bucket(int(occ_counts[rows].max()))
         step = j - i
+        kind = "raster" if K > threshold else "scatter"
         # fixed batch size per K bucket: one jit shape per (C, K) combo
-        cap = raster_chunk_cap if K > threshold else chunk_size
+        cap = raster_chunk_cap if kind == "raster" else chunk_size
         C = min(cap, max(1, slot_budget // K))
         if dev_mesh is not None:
             C = -(-C // n_dev) * n_dev  # whole rows per device shard
         if C > step:
             rows = np.concatenate([rows, np.full(C - step, rows[-1])])
-        # gather pair slices on device
-        counts_d = jnp.asarray(occ_counts)
-        rows_d = jnp.asarray(rows)
-        plists = _gather_pairs(pid_s, starts_d, counts_d, rows_d, K, n)
-        sub_ijk = jnp.asarray(sub_ijk_all[rows])
-        if dev_mesh is not None:
-            plists = jax.device_put(plists, batch_sh)
-            sub_ijk = jax.device_put(sub_ijk, batch_sh)
-        if K <= threshold:
-            if dev_mesh is not None:
-                f = pmesh.sharded_splat_scatter(dev_mesh, sd, hsc, float(support))
-                ls = f(positions_ext, values_ext, plists, sub_ijk)
-            else:
-                ls = chunk_levelset_scatter(
-                    positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
-                )
-        else:
-            plocal = _gather_pairs(cell_s, starts_d, counts_d, rows_d, K, 0)
-            prank = _gather_pairs(rank_s, starts_d, counts_d, rows_d, K, 1 << 30)
-            if dev_mesh is not None:
-                plocal = jax.device_put(plocal, batch_sh)
-                prank = jax.device_put(prank, batch_sh)
-                f = pmesh.sharded_splat_raster(
-                    dev_mesh, sd, hsc, float(support), unroll
-                )
-                ls, max_row_over = f(
-                    positions_ext, values_ext, plists, plocal, prank, sub_ijk
-                )
-            else:
-                ls, max_row_over = chunk_levelset_raster(
-                    positions_ext, values_ext, plists, plocal, prank, sub_ijk, sd,
-                    support, hsc, unroll=unroll,
-                )
-            # Overflow validation is deferred: pulling the scalar here would
-            # cost a host round trip per chunk (the dominant frame cost over
-            # a remote link). Keep only (part_idx, host rows, K) — the pair
-            # gathers are re-done on the rare redo path; retaining the
-            # gathered device arrays for every chunk would hold all chunks'
-            # particle lists live in HBM simultaneously.
-            raster_checks.append((len(ls_parts), rows.copy(), K, max_row_over))
-        ls_parts.append(ls[: j - i])
-        part_rows.append(order[i:j])
+        plan.append((rows, step, K, C, kind))
         i = j
+
+    counts_d = jnp.asarray(occ_counts)
+    sub_ijk_d = jnp.asarray(sub_ijk_all)
+    # Grouped device-side scans: ONE dispatch per (K, C, kind) group
+    # instead of one per chunk (_scan_splat docstring: the 82k-subdomain
+    # canyon would otherwise pay ~10k dispatch round trips per frame).
+    # Multi-device runs shard the scan over the CHUNK axis with the SAME
+    # scan body, which keeps them bit-identical to single-device.
+    # raster_checks entries: (part_idx, row_offset, valid, rows, K, over)
+    gi = 0
+    while gi < len(plan):
+        gj = gi
+        K, C, kind = plan[gi][2], plan[gi][3], plan[gi][4]
+        while gj < len(plan) and plan[gj][2:5] == (K, C, kind):
+            gj += 1
+        group = plan[gi:gj]
+        Gb = _bucket_count(len(group))
+        if dev_mesh is not None:
+            Gb = -(-Gb // n_dev) * n_dev  # whole chunks per device shard
+        rows_mat = np.zeros((Gb, C), np.int32)
+        for c, ent in enumerate(group):
+            rows_mat[c] = ent[0]
+        if dev_mesh is None:
+            ls_g, overs_g = _scan_splat(
+                positions_ext, values_ext, pid_s, cell_s, rank_s,
+                starts_d, counts_d, sub_ijk_d, jnp.asarray(rows_mat),
+                sd=sd, support=jnp.asarray(support, dtype), hsc=hsc,
+                K=K, unroll=unroll, kind=kind,
+            )
+        else:
+            f = pmesh.sharded_scan_splat(dev_mesh, sd, hsc, K, unroll, kind)
+            ls_g, overs_g = f(
+                positions_ext, values_ext, jnp.asarray(pid_s),
+                jnp.asarray(cell_s), jnp.asarray(rank_s), starts_d,
+                counts_d, sub_ijk_d,
+                jax.device_put(jnp.asarray(rows_mat), batch_sh),
+                jnp.asarray(support, dtype),
+            )
+        # compact each chunk's valid rows out of the (Gb, C) block
+        flat_idx = np.concatenate(
+            [c * C + np.arange(ent[1]) for c, ent in enumerate(group)]
+        )
+        part_idx = len(ls_parts)
+        ls_parts.append(
+            ls_g.reshape((Gb * C,) + ls_g.shape[2:])[
+                jnp.asarray(flat_idx.astype(np.int32))
+            ]
+        )
+        off = 0
+        for c, ent in enumerate(group):
+            part_rows.append(ent[0][: ent[1]])
+            if kind == "raster":
+                raster_checks.append(
+                    (part_idx, off, ent[1], ent[0][: ent[1]], K, overs_g[c])
+                )
+            off += ent[1]
+        gi = gj
 
     # deferred raster-overflow validation: one host sync for all chunks;
     # pathological chunks (cell occupancy > slot+overflow capacity) are
     # redone exactly via the scatter path.
     if raster_checks:
-        overs = jax.device_get([c[3] for c in raster_checks])
-        for (part_idx, rows_c, K_c, _), over in zip(raster_checks, overs):
+        overs = jax.device_get([c[5] for c in raster_checks])
+        for (part_idx, off, vc, rows_c, K_c, _), over in zip(
+            raster_checks, overs
+        ):
             if int(over) > 256:
-                counts_d = jnp.asarray(occ_counts)
-                rows_d = jnp.asarray(rows_c)
+                rows_p = rows_c
+                if dev_mesh is not None and len(rows_p) % n_dev:
+                    rows_p = np.concatenate(
+                        [rows_p, np.full((-len(rows_p)) % n_dev, rows_p[-1])]
+                    )
+                rows_d = jnp.asarray(rows_p)
                 plists_c = _gather_pairs(pid_s, starts_d, counts_d, rows_d, K_c, n)
-                sub_ijk_c = jnp.asarray(sub_ijk_all[rows_c])
+                sub_ijk_c = jnp.asarray(sub_ijk_all[rows_p])
                 if dev_mesh is not None:
                     plists_c = jax.device_put(plists_c, batch_sh)
                     sub_ijk_c = jax.device_put(sub_ijk_c, batch_sh)
@@ -981,7 +1008,9 @@ def reconstruct_surface_subdomain_grid(
                         positions_ext, values_ext, plists_c, sub_ijk_c, sd,
                         support, hsc,
                     )
-                ls_parts[part_idx] = ls_redo[: ls_parts[part_idx].shape[0]]
+                ls_parts[part_idx] = (
+                    ls_parts[part_idx].at[off : off + vc].set(ls_redo[:vc])
+                )
     raster_checks.clear()
 
     # reorder back to occ order
@@ -1060,9 +1089,9 @@ def reconstruct_surface_subdomain_grid(
     ]
     # One set of capacities for ALL chunks: remote TPU compiles are far more
     # expensive than the padding waste of uniform shapes.
+    # identical chunking on single- and multi-device paths: the chunk axis
+    # is what multi-device shards, so capacities/shapes stay equal
     mc_chunk = chunk_size
-    if dev_mesh is not None:
-        mc_chunk = -(-chunk_size // n_dev) * n_dev
     chunk_sums_v = [
         int(nv_all[mc_order[i : i + mc_chunk]].sum())
         for i in range(0, len(mc_order), mc_chunk)
@@ -1073,60 +1102,44 @@ def reconstruct_surface_subdomain_grid(
     ]
     pack_vc = _pow2_at_least(max(chunk_sums_v) if chunk_sums_v else 1)
     pack_tc = _pow2_at_least(max(chunk_sums_t) if chunk_sums_t else 1)
-    chunk_outs = []
-    i = 0
+    scanned_mc = None
     B_active = len(mc_order)
     dummy_row = ls_all.shape[0]  # the appended all-outside row in ls_ext
-    if dev_mesh is not None:
-        mc_f = pmesh.sharded_chunk_mc(dev_mesh, sd, pack_vc, pack_tc)
-    while i < B_active:
-        j = min(i + mc_chunk, B_active)
-        rows = mc_order[i:j]
-        rows_p = rows
-        if len(rows) < mc_chunk:
-            # pad with the dummy empty row
-            rows_p = np.concatenate(
-                [rows, np.full(mc_chunk - len(rows), dummy_row)]
-            )
-        ls_chunk = ls_ext[jnp.asarray(rows_p)]
-        ijk_chunk = jnp.asarray(sub_ijk_ext[rows_p])
+    if B_active > 0:
+        # all MC chunks in ONE dispatch: scan over a (G, mc_chunk) row
+        # matrix (dummy-row padded), packs come back stacked on device.
+        # Multi-device runs shard the scan over the chunk axis with the
+        # same scan body (bit-identity; pmesh.sharded_scan_mc docstring).
+        Gb = _bucket_count(-(-B_active // mc_chunk))
         if dev_mesh is not None:
-            out = mc_f(
-                jax.device_put(ls_chunk, batch_sh),
-                jax.device_put(ijk_chunk, batch_sh),
-                jnp.asarray(iso, dtype),
+            Gb = -(-Gb // n_dev) * n_dev
+        rows_mat = np.full((Gb * mc_chunk,), dummy_row, np.int32)
+        rows_mat[:B_active] = mc_order
+        rows_mat = rows_mat.reshape(Gb, mc_chunk)
+        if dev_mesh is None:
+            scanned_mc = _scan_chunk_mc(
+                ls_ext, jnp.asarray(sub_ijk_ext), jnp.asarray(rows_mat),
+                sd=sd, iso=jnp.asarray(iso, dtype),
+                pack_vc=pack_vc, pack_tc=pack_tc,
             )
         else:
-            out = chunk_mc(
-                ls_chunk,
-                ijk_chunk,
-                sd,
+            mc_f = pmesh.sharded_scan_mc(dev_mesh, sd, pack_vc, pack_tc)
+            scanned_mc = mc_f(
+                jax.device_put(ls_ext, repl_sh),
+                jax.device_put(jnp.asarray(sub_ijk_ext), repl_sh),
+                jax.device_put(jnp.asarray(rows_mat), batch_sh),
                 jnp.asarray(iso, dtype),
-                pack_vertex_capacity=pack_vc,
-                pack_triangle_capacity=pack_tc,
             )
-        # accumulate on device: nothing crosses the host link per chunk
-        chunk_outs.append(out)
-        i = j
 
     prof_mc.__exit__(None, None, None)
-    if not chunk_outs:
+    if scanned_mc is None:
         # nothing crossed the iso threshold anywhere
         mesh = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     else:
         with profile("stitching"):
-            if dev_mesh is not None:
-                # sharded chunk outputs are (n_dev, cap): one pack per shard
-                stacked = [
-                    jnp.concatenate([o[k] for o in chunk_outs], axis=0)
-                    for k in range(8)
-                ]
-                t_counts = jnp.concatenate([o[9] for o in chunk_outs])
-            else:
-                stacked = [
-                    jnp.stack([o[k] for o in chunk_outs]) for k in range(8)
-                ]
-                t_counts = jnp.stack([o[9] for o in chunk_outs])
+            # scanned packs are already stacked (G, cap) on device
+            stacked = [scanned_mc[k] for k in range(8)]
+            t_counts = scanned_mc[9]
             v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
             t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
             s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
@@ -1160,6 +1173,70 @@ def reconstruct_surface_subdomain_grid(
         particle_neighbors=particle_neighbors,
         particle_inside_aabb=particle_inside_aabb,
     )
+
+
+def _bucket_count(n0: int) -> int:
+    """Chunk-group lengths in 16-steps/octave buckets: bounded scan-shape
+    compile variants at <= ~6% wasted dummy chunks."""
+    step0 = max(1, 1 << max(n0.bit_length() - 5, 0))
+    return -(-n0 // step0) * step0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sd", "hsc", "K", "unroll", "kind")
+)
+def _scan_splat(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
+    sub_ijk_d, rows_mat, sd: SubdomainGridParams, support, hsc: int,
+    K: int, unroll, kind: str,
+):
+    """Scan the per-chunk splat over a (G, C) chunk-row matrix: ONE device
+    dispatch executes a whole same-shape chunk group sequentially on
+    device. The reference's canyon headline has 82k occupied subdomains —
+    at ~8-32 subdomains per chunk, per-chunk dispatch through a
+    ~28 ms-overhead host link would dominate the frame; the scan removes
+    the host from the loop entirely (dense_subdomains.rs:521-526 keeps its
+    subdomain loop inside the Rayon pool for the same reason).
+
+    Returns (ls (G, C, P, P, P), per-chunk raster overflow (G,) — zeros on
+    the scatter path)."""
+    n = positions_ext.shape[0] - 1
+
+    def body(carry, rows):
+        plists = _gather_pairs(pid_s, starts, counts, rows, K, n)
+        sub_ijk = sub_ijk_d[rows]
+        if kind == "raster":
+            plocal = _gather_pairs(cell_s, starts, counts, rows, K, 0)
+            prank = _gather_pairs(rank_s, starts, counts, rows, K, 1 << 30)
+            ls, over = chunk_levelset_raster(
+                positions_ext, values_ext, plists, plocal, prank, sub_ijk,
+                sd, support, hsc, unroll=unroll,
+            )
+        else:
+            ls = chunk_levelset_scatter(
+                positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+            )
+            over = jnp.zeros((), jnp.int32)
+        return carry, (ls, over)
+
+    _, (ls, overs) = jax.lax.scan(body, 0, rows_mat)
+    return ls, overs
+
+
+@functools.partial(jax.jit, static_argnames=("sd", "pack_vc", "pack_tc"))
+def _scan_chunk_mc(ls_ext, sub_ijk_ext, rows_mat, sd, iso, pack_vc, pack_tc):
+    """Scan batched marching cubes over all chunks in one dispatch; the
+    per-chunk packs come back stacked (G, cap) for the device stitch."""
+
+    def body(carry, rows):
+        out = chunk_mc(
+            ls_ext[rows], sub_ijk_ext[rows], sd, iso,
+            pack_vertex_capacity=pack_vc, pack_triangle_capacity=pack_tc,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, rows_mat)
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("K", "n"))
