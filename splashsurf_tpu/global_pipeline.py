@@ -93,8 +93,15 @@ def _warm_frame(
         positions, values, grid, slots, hsc, ofc, lane_align=lane_align
     )
     ls = gs.sweep_global(*r[:8], grid, csr, hsc, backend)
+    import os
+
+    quant_t = (
+        ls.dtype == jnp.float32
+        and os.environ.get("SPLASHSURF_TPU_PULL_QUANT", "1") == "1"
+    )
     out = gs.mc_global_cells(
-        ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap, encode=True
+        ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap, encode=True,
+        quant_t=quant_t,
     )
     t, points, words, total_v, total_t, total_c = out
     packed = gs._pack_cellwise(t, points, words, nv=nv_b, nc=nc_b)
@@ -207,6 +214,7 @@ def _try_warm_frame(
     with profile("decode mesh"):
         from splashsurf_tpu import native
 
+        enc = (gs._dequant_t(enc[0]),) + tuple(enc[1:])
         dec = None
         if enc[0].dtype == np.float32:
             dec = native.mc_decode(

@@ -429,7 +429,9 @@ def mc_global_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "vertex_capacity", "triangle_capacity", "encode"),
+    static_argnames=(
+        "grid", "vertex_capacity", "triangle_capacity", "encode", "quant_t"
+    ),
 )
 def mc_global_cells(
     ls,  # (PX, PY, PZ) level set on grid points
@@ -438,6 +440,7 @@ def mc_global_cells(
     vertex_capacity: int,
     triangle_capacity: int,
     encode: bool = False,
+    quant_t: bool = False,
 ):
     """Cell-list marching cubes: compact active CELLS first, derive everything
     else from the compact list.
@@ -537,6 +540,12 @@ def mc_global_cells(
     )
     if encode:
         counts_enc = jnp.asarray(lut.TRI_COUNT, jnp.int32)[words_c & 0xFF]
+        if quant_t:
+            # u16-quantized edge parameter: halves the t stream's link
+            # bytes; max position error cell_size/65535 (~1e-7 of the
+            # domain) — orders below the 1e-4 accuracy budget. f32-only
+            # (f64 runs keep full-precision t).
+            t = jnp.round(t * 65535.0).astype(jnp.uint16)
         return (
             t,
             points_c,
@@ -675,6 +684,14 @@ def _pack_encoded(ae, t, cells, cases, nv: int, nc: int):
 def _pack_cellwise(t, cells, cases, nv: int, nc: int):
     """Slice the cellwise encoded streams (t, cells, cases) to buckets."""
     return t[:nv], cells[:nc], cases[:nc]
+
+
+def _dequant_t(t):
+    """Host-side inverse of the u16 edge-parameter quantization (no-op for
+    full-precision streams)."""
+    if t.dtype == np.uint16:
+        return t.astype(np.float32) * np.float32(1.0 / 65535.0)
+    return t
 
 
 def _decode_cellwise_mesh(t, points, words, total_v, total_t, total_c, grid):
@@ -953,6 +970,7 @@ def _defer_encoded_pull(
         _note_overflow_plan(okey, total_over)
         from splashsurf_tpu import native
 
+        pt_ = _dequant_t(pt_)
         dec = None
         if pt_.dtype == np.float32:
             dec = native.mc_decode(
@@ -1025,6 +1043,11 @@ def _finish_global_dense(
     use_enc = (
         not mc_edges and os.environ.get("SPLASHSURF_TPU_PULL", "encoded") == "encoded"
     )
+    quant_t = (
+        use_enc
+        and ls.dtype == jnp.float32
+        and os.environ.get("SPLASHSURF_TPU_PULL_QUANT", "1") == "1"
+    )
     mc_impl = mc_global_packed if mc_edges else mc_global_cells
     while True:
         vcap, tcap = caps
@@ -1033,7 +1056,7 @@ def _finish_global_dense(
                 enc = _sync(
                     mc_global_cells(
                         ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap,
-                        encode=True,
+                        encode=True, quant_t=quant_t,
                     )
                 )
             t_s, cells_s, cases_s, tv_d, tt_d, tc_d = enc
@@ -1095,6 +1118,7 @@ def _finish_global_dense(
             with profile("decode mesh"):
                 from splashsurf_tpu import native
 
+                pt_ = _dequant_t(pt_)
                 dec = None
                 if pt_.dtype == np.float32:
                     dec = native.mc_decode(
