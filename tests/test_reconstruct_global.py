@@ -290,3 +290,41 @@ class TestGridBucketing:
         sb = vb[np.lexsort(vb.T)]
         sr = vr[np.lexsort(vr.T)]
         np.testing.assert_allclose(sb, sr, rtol=0, atol=1e-6)
+
+
+class TestQuantizedPull:
+    """u16 edge-parameter transfer quantization (SPLASHSURF_TPU_PULL_QUANT)."""
+
+    def test_quant_matches_full_precision(self, data_dir, monkeypatch):
+        import splashsurf_tpu.ops.global_sweep as gs
+
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        pts = pts.astype(np.float32)
+        params = _global_params(0.025, 4.0, 1.1)
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "0")
+        r0 = st.reconstruct_surface(pts, params)
+        gs._PULL_PLAN_ENC.clear()
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "1")
+        r1 = st.reconstruct_surface(pts, params)
+        t0 = np.asarray(r0.mesh.triangles)
+        t1 = np.asarray(r1.mesh.triangles)
+        assert t0.shape == t1.shape and (t0 == t1).all()
+        v0 = np.asarray(r0.mesh.vertices)
+        v1 = np.asarray(r1.mesh.vertices)
+        # max error is one u16 step of a cell edge
+        cs = r0.grid.cell_size
+        assert np.abs(v0 - v1).max() <= cs / 65535 * 1.01
+        assert check_mesh_consistency(v1, t1) is None
+
+    def test_f64_stays_full_precision(self, data_dir):
+        """f64 frames must not quantize (the stream stays f64)."""
+        pts, _ = particles_from_vtk(
+            f"{data_dir}/double_dam_break_frame_26_4732_particles.vtk"
+        )
+        params = _global_params(0.025, 4.0, 1.1).try_convert("float64")
+        rec = st.reconstruct_surface(pts.astype(np.float64), params)
+        v = np.asarray(rec.mesh.vertices)
+        assert v.dtype == np.float64
+        assert check_mesh_consistency(v, np.asarray(rec.mesh.triangles)) is None
