@@ -767,7 +767,33 @@ def compute_particle_densities_raster(
     # minor dim would pad it to 128 TPU lanes (a 3.5x waste at typical
     # lattice shapes). Lane overrun past each row's LZ reads pad values
     # (inf -> W = 0), never out of range (Zp + 1 + W <= Yp*Zp).
-    W = LY * Zp
+    acc_flat, width = _sweep_dispatch(
+        rasters, slots, LX, Yp, Zp, bs, h, backend, dtype
+    )
+    src = jnp.where(ok, (slot * LX + bx) * width + by * Zp + bz, 0)
+
+    # read back per particle, undo the sort
+    rho_sorted = jnp.where(ok, acc_flat[src], 0.0)
+    rho = (
+        jnp.zeros((n,), dtype)
+        .at[cell_list.order]
+        .set(rho_sorted, mode="drop", unique_indices=True)
+    )
+    if overflow_capacity:
+        rho = _overflow_correction(
+            positions, grid, cell_list, slot, slots,
+            overflow_capacity, candidate_capacity, h, rho,
+        )
+    return jnp.asarray(particle_rest_mass, dtype) * rho
+
+
+def _sweep_dispatch(rasters, slots, LX, Yp, Zp, bs, h, backend, dtype):
+    """Run the 27-offset bin sweep over frac rasters with the selected
+    backend; returns (acc_flat, row_width). A query sitting in
+    (slot, bx, by, bz) reads ``acc_flat[(slot*LX+bx)*row_width + by*Zp+bz]``.
+    """
+    Xp = rasters[0].shape[1]
+    W = (Yp - 2) * Zp
     if backend is None:
         # The Pallas sweep is only ~10% faster end-to-end but costs Mosaic
         # minutes of compile per new lattice shape over the remote tunnel;
@@ -803,26 +829,152 @@ def compute_particle_densities_raster(
             interpret=(backend == "pallas_interpret"),
         )
         sigma = 8.0 / (h * h * h)
-        acc_flat = (acc_p[:, :LX, :] * sigma).reshape(-1)
-        src = jnp.where(ok, (slot * LX + bx) * Wout + by * Zp + bz, 0)
-    else:
-        acc = _raster_sweep_xla(rasters, LX, Yp, Zp, bs, h)
-        acc_flat = acc.reshape(-1)
-        src = jnp.where(ok, (slot * LX + bx) * W + by * Zp + bz, 0)
+        return (acc_p[:, :LX, :] * sigma).reshape(-1), Wout
+    acc = _raster_sweep_xla(rasters, LX, Yp, Zp, bs, h)
+    return acc.reshape(-1), W
 
-    # read back per particle, undo the sort
-    rho_sorted = jnp.where(ok, acc_flat[src], 0.0)
-    rho = (
-        jnp.zeros((n,), dtype)
-        .at[cell_list.order]
-        .set(rho_sorted, mode="drop", unique_indices=True)
-    )
-    if overflow_capacity:
-        rho = _overflow_correction(
-            positions, grid, cell_list, slot, slots,
-            overflow_capacity, candidate_capacity, h, rho,
+
+@functools.partial(jax.jit, static_argnames=("has_n_valid",))
+def _octant_phase(positions, period, n_valid=None, has_n_valid: bool = False):
+    """Per-axis circular mean of ``x mod period``: the dominant particle
+    phase, used to center half-bin octants on the particle lattice."""
+    p = jnp.asarray(positions)
+    dtype = p.dtype
+    s = jnp.asarray(period, dtype)
+    if has_n_valid:
+        m = (
+            jnp.arange(p.shape[0], dtype=jnp.int32)
+            < jnp.asarray(n_valid, jnp.int32)
         )
-    return jnp.asarray(particle_rest_mass, dtype) * rho
+    else:
+        m = jnp.ones(p.shape[:1], bool)
+    phis = []
+    for d in range(3):
+        x = p[:, d]
+        frac = x - s * jnp.floor(x / s)
+        ang = frac * (2.0 * np.pi) / s
+        c = jnp.sum(jnp.where(m, jnp.cos(ang), 0.0))
+        sn = jnp.sum(jnp.where(m, jnp.sin(ang), 0.0))
+        phis.append(jnp.arctan2(sn, c) / (2.0 * np.pi) * s)
+    return jnp.stack(phis)
+
+
+def _phase_aligned_bingrid(
+    aabb_min, aabb_max, bin_size: float, phases
+) -> BinGrid:
+    """BinGrid whose half-bin octant CENTERS sit on the dominant particle
+    phase per axis (phases from :func:`_octant_phase`), so near-rest fluids
+    land one particle per octant regardless of where their AABB falls.
+    Same coverage contract as ``BinGrid.for_domain`` (>= one bin margin)."""
+    s = float(bin_size) / 2.0
+    mn = np.asarray(aabb_min, np.float64) - bin_size
+    mx = np.asarray(aabb_max, np.float64) + bin_size
+    o = np.asarray(phases, np.float64) - s / 2.0
+    k = np.ceil((o - mn) / s)
+    origin = o - k * s  # largest octant-phase-aligned origin <= mn
+    dims = np.maximum(np.ceil((mx - origin) / bin_size).astype(np.int64), 1)
+    dims = [_bucket_lattice_dim(int(d)) for d in dims]
+    total = int(dims[0]) * int(dims[1]) * int(dims[2])
+    if total >= 2**31:
+        raise ValueError(f"bin lattice too large: {tuple(dims)}")
+    return BinGrid(
+        min=tuple(origin.tolist()),
+        bin_size=float(bin_size),
+        dims=tuple(int(d) for d in dims),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "has_n_valid", "backend")
+)
+def compute_particle_densities_geoslot(
+    positions,
+    grid: BinGrid,
+    compact_support_radius,
+    particle_rest_mass,
+    n_valid=None,
+    has_n_valid: bool = False,
+    backend: str | None = None,
+):
+    """Sort-free SPH densities: slots from half-bin OCTANTS, not sorted
+    ranks.
+
+    The raster formulation needs a (slot, bin) address per particle; the
+    sorted path derives ``slot`` from the within-bin rank, paying a full-N
+    argsort + gathers + an unsort scatter per frame. At near-rest spacing
+    (the common reconstruction input; bin = compact support = 2 rest
+    spacings) each particle sits alone in its half-bin octant, so
+    ``slot = octant index`` is a pure per-particle expression and the whole
+    table build is two scatters. Octant collisions are DETECTED (one
+    scatter-add + gather) and invalidate the frame via the returned check —
+    the caller re-plans through the sorted path, so compressed fluids
+    simply never enter this program (plans only select it after a
+    zero-collision planning frame).
+
+    Returns ``(rho, ok)``; ``rho`` is only valid when ``ok`` is True.
+    Reference analog: the same density loops as the sorted raster path
+    (dense_subdomains.rs:849-1133) — this is an addressing change, not a
+    formulation change.
+    """
+    p = jnp.asarray(positions)
+    dtype = p.dtype
+    h = jnp.asarray(compact_support_radius, dtype)
+    n = p.shape[0]
+    LX, LY, LZ = grid.dims
+    Xp, Yp, Zp = LX + 2, LY + 2, LZ + 2
+    bs = jnp.asarray(grid.bin_size, dtype)
+    half = bs * jnp.asarray(0.5, dtype)
+    cols = [p[:, d] for d in range(3)]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if has_n_valid:
+        valid = idx < jnp.asarray(n_valid, jnp.int32)
+    else:
+        valid = jnp.ones((n,), bool)
+
+    bcoord, frac, oct_bits = [], [], []
+    in_lattice = jnp.asarray(True)
+    for d, dim in enumerate((LX, LY, LZ)):
+        mn = jnp.asarray(grid.min[d], dtype)
+        raw = jnp.floor((cols[d] - mn) / bs).astype(jnp.int32)
+        in_lattice = in_lattice & ~jnp.any(
+            valid & ((raw < 0) | (raw >= dim))
+        )
+        c = jnp.clip(raw, 0, dim - 1)
+        f = cols[d] - (mn + c.astype(dtype) * bs)
+        bcoord.append(c)
+        frac.append(f)
+        oct_bits.append((f >= half).astype(jnp.int32))
+    bx, by, bz = bcoord
+    slot = (oct_bits[0] << 2) | (oct_bits[1] << 1) | oct_bits[2]
+
+    total = 8 * Xp * Yp * Zp
+    dest = jnp.where(
+        valid,
+        ((slot * Xp + bx + 1) * Yp + by + 1) * Zp + (bz + 1),
+        total,
+    )
+    counts = jnp.zeros((total,), jnp.int32).at[dest].add(1, mode="drop")
+    cme = jnp.where(valid, counts[jnp.minimum(dest, total - 1)], 0)
+    ok = valid & (cme == 1)
+    no_collision = ~jnp.any(cme > 1)
+
+    rdest = jnp.where(ok, dest, total)
+    rasters = [
+        jnp.full((total,), jnp.inf, dtype)
+        .at[rdest]
+        .set(frac[d], mode="drop", unique_indices=True)
+        .reshape(8, Xp, Yp, Zp)
+        for d in range(3)
+    ]
+    acc_flat, width = _sweep_dispatch(
+        rasters, 8, LX, Yp, Zp, bs, h, backend, dtype
+    )
+    src = jnp.where(ok, (slot * LX + bx) * width + by * Zp + bz, 0)
+    rho = jnp.where(ok, acc_flat[src], 0.0)
+    return (
+        jnp.asarray(particle_rest_mass, dtype) * rho,
+        in_lattice & no_collision,
+    )
 
 
 # Speculative per-frame plan: an animation sequence reuses the previous
@@ -903,7 +1055,14 @@ def _densities_planned(
     has_n_valid: bool = False,
 ):
     """Speculative-hit density frame in ONE dispatch: cell list + plan
-    validity + densities, sharing the sort and segment passes."""
+    validity + densities, sharing the sort and segment passes. The
+    ``geoslot`` kind skips the sort entirely (its validity check — octant
+    uniqueness — is computed inside the same program)."""
+    if kind == "geoslot":
+        return compute_particle_densities_geoslot(
+            positions, grid, compact_support_radius, particle_rest_mass,
+            n_valid=n_valid, has_n_valid=has_n_valid,
+        )
     cl = build_cell_list(
         positions, grid, n_valid=n_valid, has_n_valid=has_n_valid
     )
@@ -1013,6 +1172,41 @@ def compute_particle_densities(
     # Dense bin lattices (the common dense-fluid case) take the raster-sweep
     # formulation: shifted windows instead of per-offset row gathers.
     lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    import os
+
+    if (
+        capacity is None
+        and lattice <= 8_000_000
+        and n_bins >= lattice // 4
+        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "0") == "1"
+    ):
+        # Sort-free fast path: valid only when every particle owns its
+        # half-bin octant of a lattice PHASE-ALIGNED to the particle
+        # structure (an arbitrary AABB phase straddles octant boundaries
+        # even at rest spacing). The planning frame validates the octant
+        # check synchronously (one scalar pull) before recording the plan;
+        # warm frames re-validate through the deferred check.
+        phases = jax.device_get(
+            _octant_phase(
+                positions, compact_support_radius / 2.0,
+                n_valid=nv, has_n_valid=has_nv,
+            )
+        )
+        agrid = _phase_aligned_bingrid(mn, mx, compact_support_radius, phases)
+        rho_g, ok_g = compute_particle_densities_geoslot(
+            positions, agrid, compact_support_radius, particle_rest_mass,
+            n_valid=nv, has_n_valid=has_nv,
+        )
+        if bool(jax.device_get(ok_g)):
+            if speculate:
+                _DENSITY_PLAN[key] = dict(
+                    grid=agrid, kind="geoslot", slots=8, u_cap=u_cap,
+                    ocap=0, ccap=0,
+                )
+                return rho_g, None
+            return rho_g
+        # collisions: fall through to the sorted formulations
+
     if (
         capacity is None
         and lattice <= 8_000_000
