@@ -91,10 +91,17 @@ def __getattr__(name):
         )
 
         return neighborhood_search_spatial_hashing_parallel
-    if name in ("compute_neighborhood_stats", "NeighborhoodStats"):
+    if name in (
+        "compute_neighborhood_stats", "NeighborhoodStats",
+        "NeighborhoodLists",
+    ):
         from splashsurf_tpu import neighbors as _nb
 
         return getattr(_nb, name)
+    if name in ("MeshType", "VertexVertexConnectivity"):
+        from splashsurf_tpu import mesh as _mesh
+
+        return getattr(_mesh, name)
     if name == "SphInterpolator":
         from splashsurf_tpu.sph_interpolation import SphInterpolator
 
@@ -144,6 +151,9 @@ __all__ = [
     "neighborhood_search_spatial_hashing_parallel",
     "compute_neighborhood_stats",
     "NeighborhoodStats",
+    "NeighborhoodLists",
+    "MeshType",
+    "VertexVertexConnectivity",
     "SphInterpolator",
     "run_splashsurf",
 ]

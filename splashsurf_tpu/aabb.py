@@ -42,6 +42,11 @@ class Aabb3d:
         # Parity alias: on TPU the reduction is always parallel.
         return Aabb3d.from_points(points)
 
+    @staticmethod
+    def from_min_max(min, max) -> "Aabb3d":
+        """AABB with the given min and max corners (pysplashsurf.pyi:29)."""
+        return Aabb3d(tuple(min), tuple(max))
+
     # -- queries -----------------------------------------------------------
 
     @property

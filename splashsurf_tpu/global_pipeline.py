@@ -263,7 +263,7 @@ def reconstruct_surface_global(
             lists = neighbors.neighborhood_search_spatial_hashing_parallel(
                 positions, parameters.compact_support_radius
             )
-            particle_neighbors = _lists_to_csr(lists)
+            particle_neighbors = lists
         return SurfaceReconstruction(
             grid=grid,
             mesh=mesh,
@@ -346,7 +346,7 @@ def reconstruct_surface_global(
         lists = neighbors.neighborhood_search_spatial_hashing_parallel(
             positions, parameters.compact_support_radius
         )
-        particle_neighbors = _lists_to_csr(lists)
+        particle_neighbors = lists
 
     return SurfaceReconstruction(
         grid=grid,
@@ -358,6 +358,8 @@ def reconstruct_surface_global(
 
 
 def _lists_to_csr(lists):
+    """CSR view of ragged neighbor lists (legacy helper; the public
+    ``particle_neighbors`` now carries NeighborhoodLists directly)."""
     offsets = np.zeros(len(lists) + 1, dtype=np.int64)
     np.cumsum([len(l) for l in lists], out=offsets[1:])
     indices = (

@@ -12,6 +12,7 @@ sort/segment primitives; heavy topological edits live in
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Dict, List, Optional, Union
 
 import jax
@@ -46,21 +47,45 @@ class TriMesh3d:
         """Area-weighted vertex normals (mesh.rs:848-952)."""
         return vertex_normals(self.vertices, self.triangles)
 
+    def nvertices(self) -> int:
+        """pysplashsurf.pyi:70 parity."""
+        return self.num_vertices
+
+    def copy(self) -> "TriMesh3d":
+        """Deep copy (pysplashsurf.pyi:263)."""
+        return TriMesh3d(
+            vertices=np.array(self.vertices),
+            triangles=np.array(self.triangles),
+        )
+
+    def write_to_file(self, path, *, file_format=None) -> None:
+        """Write the mesh to a file, format from the extension
+        (pysplashsurf.pyi:275)."""
+        from splashsurf_tpu import io as _io
+
+        _io.write_mesh(str(path), self)
+
     def par_vertex_normals(self):
         return self.vertex_normals()
 
-    def vertex_vertex_connectivity(self) -> List[np.ndarray]:
+    def vertex_normals_parallel(self):
+        """pysplashsurf.pyi:267 name parity for :meth:`vertex_normals`."""
+        return self.vertex_normals()
+
+    def vertex_vertex_connectivity(self) -> "VertexVertexConnectivity":
         """Adjacent-vertex lists per vertex (mesh.rs:290).
 
-        Returns a ragged list-of-arrays (host representation); use
-        :func:`vertex_vertex_connectivity_csr` for the array program form.
+        Returns a :class:`VertexVertexConnectivity` (a list of per-vertex
+        neighbor arrays); use :func:`vertex_vertex_connectivity_csr` for
+        the array program form.
         """
         offsets, neighbors = vertex_vertex_connectivity_csr(
             np.asarray(self.triangles), self.num_vertices
         )
-        return [
-            neighbors[offsets[i] : offsets[i + 1]] for i in range(self.num_vertices)
-        ]
+        return VertexVertexConnectivity(
+            neighbors[offsets[i] : offsets[i + 1]]
+            for i in range(self.num_vertices)
+        )
 
     def keep_vertices(self, vertex_mask: np.ndarray) -> "TriMesh3d":
         """Keep flagged vertices and all triangles whose vertices survive."""
@@ -120,6 +145,34 @@ class MixedTriQuadMesh3d:
     triangles: np.ndarray  # (T, 3) int32
     quads: np.ndarray  # (Q, 4) int32
 
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    def nvertices(self) -> int:
+        """pysplashsurf.pyi:70 parity."""
+        return self.num_vertices
+
+    def copy(self) -> "MixedTriQuadMesh3d":
+        return MixedTriQuadMesh3d(
+            vertices=np.array(self.vertices),
+            triangles=np.array(self.triangles),
+            quads=np.array(self.quads),
+        )
+
+    def get_triangles(self) -> np.ndarray:
+        """Copy of all triangle cells (pysplashsurf.pyi:156)."""
+        return np.array(self.triangles, dtype=np.uint64)
+
+    def get_quads(self) -> np.ndarray:
+        """Copy of all quad cells (pysplashsurf.pyi:160)."""
+        return np.array(self.quads, dtype=np.uint64)
+
+    def write_to_file(self, path, *, file_format=None) -> None:
+        from splashsurf_tpu import io as _io
+
+        _io.write_mesh(str(path), self)
+
 
 @dataclasses.dataclass
 class HexMesh3d:
@@ -143,6 +196,26 @@ class PointCloud3d:
     def num_vertices(self) -> int:
         return int(self.vertices.shape[0])
 
+class VertexVertexConnectivity(list):
+    """Vertex-vertex connectivity of a mesh (pysplashsurf.pyi:305 parity):
+    a list of per-vertex neighbor index arrays with the reference's
+    copy/take accessors."""
+
+    def copy_connectivity(self) -> List[List[int]]:
+        return [list(map(int, a)) for a in self]
+
+    def take_connectivity(self) -> List[List[int]]:
+        out = self.copy_connectivity()
+        self.clear()
+        return out
+
+
+class MeshType(enum.Enum):
+    """Type of mesh wrapped by a ``MeshWithData`` (pysplashsurf.pyi:318)."""
+
+    Tri3d = "Tri3d"
+    MixedTriQuad3d = "MixedTriQuad3d"
+
 
 @dataclasses.dataclass
 class MeshAttribute:
@@ -164,12 +237,78 @@ class MeshWithData:
     point_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
     cell_attributes: List[MeshAttribute] = dataclasses.field(default_factory=list)
 
+    @property
+    def mesh_type(self) -> MeshType:
+        """pysplashsurf.pyi:80 parity."""
+        return (
+            MeshType.Tri3d
+            if isinstance(self.mesh, TriMesh3d)
+            else MeshType.MixedTriQuad3d
+        )
+
     def _require_tri(self) -> "TriMesh3d":
         if not isinstance(self.mesh, TriMesh3d):
             raise TypeError(
                 "attribute-remapping topology ops require a TriMesh3d"
             )
         return self.mesh
+
+    def add_point_attribute(self, name: str, attribute) -> None:
+        """Attach a point attribute (pysplashsurf.pyi:111): exactly one
+        value per vertex."""
+        data = np.asarray(attribute)
+        if data.shape[0] != self.mesh.num_vertices:
+            raise ValueError(
+                f"point attribute {name!r} has {data.shape[0]} values for "
+                f"{self.mesh.num_vertices} vertices"
+            )
+        self.point_attributes.append(MeshAttribute(name, data))
+
+    def add_cell_attribute(self, name: str, attribute) -> None:
+        """Attach a cell attribute (pysplashsurf.pyi:122): exactly one
+        value per cell."""
+        data = np.asarray(attribute)
+        ncells = (
+            len(self.mesh.triangles)
+            if isinstance(self.mesh, TriMesh3d)
+            else len(self.mesh.triangles) + len(self.mesh.quads)
+        )
+        if data.shape[0] != ncells:
+            raise ValueError(
+                f"cell attribute {name!r} has {data.shape[0]} values for "
+                f"{ncells} cells"
+            )
+        self.cell_attributes.append(MeshAttribute(name, data))
+
+    def copy_mesh(self):
+        """Copy of the wrapped mesh without attributes (pysplashsurf.pyi:103)."""
+        return self.mesh.copy()
+
+    def copy(self) -> "MeshWithData":
+        """Deep copy with data and attributes (pysplashsurf.pyi:107)."""
+        return MeshWithData(
+            mesh=self.mesh.copy(),
+            point_attributes=[
+                MeshAttribute(a.name, np.array(a.data))
+                for a in self.point_attributes
+            ],
+            cell_attributes=[
+                MeshAttribute(a.name, np.array(a.data))
+                for a in self.cell_attributes
+            ],
+        )
+
+    def write_to_file(self, path, *, file_format=None) -> None:
+        """Write the mesh and its point attributes (pysplashsurf.pyi:133)."""
+        from splashsurf_tpu import io as _io
+
+        _io.write_mesh(
+            str(path),
+            self.mesh,
+            point_attributes={
+                a.name: np.asarray(a.data) for a in self.point_attributes
+            },
+        )
 
     def keep_cells(self, cell_indices: np.ndarray) -> "MeshWithData":
         """Keep the given cells; point/cell attributes follow the maps."""

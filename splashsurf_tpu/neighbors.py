@@ -315,15 +315,61 @@ def to_csr(padded_lists: np.ndarray, counts: np.ndarray):
     return offsets, indices
 
 
+class NeighborhoodLists(list):
+    """Per-particle neighborhood lists (pysplashsurf.pyi:169 parity): a
+    list of per-particle neighbor index arrays. ``offsets``/``indices``
+    expose the CSR form used by the device pipelines."""
+
+    def get_neighborhood_lists(self):
+        return [list(map(int, a)) for a in self]
+
+    @property
+    def offsets(self) -> np.ndarray:
+        off = np.zeros(len(self) + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in self], out=off[1:])
+        return off
+
+    @property
+    def indices(self) -> np.ndarray:
+        if not len(self):
+            return np.zeros(0, np.int32)
+        return np.concatenate([np.asarray(a) for a in self]).astype(np.int32)
+
+    @staticmethod
+    def from_csr(offsets, indices) -> "NeighborhoodLists":
+        return NeighborhoodLists(
+            indices[offsets[i] : offsets[i + 1]]
+            for i in range(len(offsets) - 1)
+        )
+
+
 def neighborhood_search_spatial_hashing_parallel(
-    positions, radius: float, max_neighbors: int = 256
+    positions, radius=None, max_neighbors: int = 256, search_radius=None
 ):
     """Ragged neighbor lists for all particles (pysplashsurf parity:
-    ``neighborhood_search_spatial_hashing_parallel``). Returns a list of
-    int arrays; the device computation uses the sorted cell binning."""
+    ``neighborhood_search_spatial_hashing_parallel``). Accepts either
+    ``(positions, radius)`` or the reference's
+    ``(particle_positions, domain: Aabb3d, search_radius)`` convention.
+    Returns a :class:`NeighborhoodLists`; the device computation uses the
+    sorted cell binning."""
+    from splashsurf_tpu.aabb import Aabb3d
+
     positions = jnp.asarray(positions)
-    mn = np.asarray(jnp.min(positions, axis=0))
-    mx = np.asarray(jnp.max(positions, axis=0))
+    if isinstance(radius, Aabb3d) or radius is None:
+        domain = radius
+        if search_radius is None:
+            if isinstance(max_neighbors, (int, np.integer)):
+                raise TypeError("search_radius required with a domain AABB")
+            search_radius, max_neighbors = max_neighbors, 256
+        radius = float(search_radius)
+        if domain is not None:
+            mn, mx = np.asarray(domain.min), np.asarray(domain.max)
+        else:
+            mn = np.asarray(jnp.min(positions, axis=0))
+            mx = np.asarray(jnp.max(positions, axis=0))
+    else:
+        mn = np.asarray(jnp.min(positions, axis=0))
+        mx = np.asarray(jnp.max(positions, axis=0))
     grid = BinGrid.for_domain(mn, mx, radius)
     cl = build_cell_list(positions, grid)
     capacity = _round_up(max_bin_occupancy(cl))
@@ -331,7 +377,9 @@ def neighborhood_search_spatial_hashing_parallel(
         positions, grid, cl, radius, capacity, max_neighbors
     )
     lists, counts = np.asarray(lists), np.asarray(counts)
-    return [lists[i, : counts[i]] for i in range(len(counts))]
+    return NeighborhoodLists(
+        lists[i, : counts[i]] for i in range(len(counts))
+    )
 
 
 @dataclasses.dataclass

@@ -34,7 +34,9 @@ class SurfaceReconstruction:
     mesh: TriMesh3d
     subdomain_grid: Optional[UniformGrid] = None
     particle_densities: Optional[np.ndarray] = None
-    particle_neighbors: Optional[tuple] = None  # CSR: (offsets, neighbors)
+    # NeighborhoodLists (list of per-particle neighbor index arrays;
+    # .offsets/.indices expose the CSR form)
+    particle_neighbors: Optional[list] = None
     particle_inside_aabb: Optional[np.ndarray] = None
     _pending_mesh: Optional[object] = dataclasses.field(
         default=None, repr=False, compare=False
@@ -383,10 +385,10 @@ def reconstruct_surface(
         if rec.particle_densities is not None:
             rec.particle_densities = rec.particle_densities[:n_real]
         if rec.particle_neighbors is not None:
-            offsets, indices = rec.particle_neighbors
-            rec.particle_neighbors = (
-                offsets[: n_real + 1],
-                indices[: offsets[n_real]],
+            from splashsurf_tpu.neighbors import NeighborhoodLists
+
+            rec.particle_neighbors = NeighborhoodLists(
+                rec.particle_neighbors[:n_real]
             )
 
     if rec._pending_mesh is not None:

@@ -79,6 +79,23 @@ class SphInterpolator:
         )
         return np.asarray(out[:, 0])
 
+    def interpolate_quantity(
+        self, particle_quantity, interpolation_points, *,
+        first_order_correction: bool = False,
+    ) -> np.ndarray:
+        """Interpolate a scalar OR vectorial per-particle quantity
+        (pysplashsurf.pyi:205 parity: dispatch on the quantity's rank)."""
+        q = np.asarray(particle_quantity)
+        if q.ndim <= 1:
+            return self.interpolate_scalar_quantity(
+                q, interpolation_points,
+                first_order_correction=first_order_correction,
+            )
+        return self.interpolate_vector_quantity(
+            q, interpolation_points,
+            first_order_correction=first_order_correction,
+        )
+
     def interpolate_vector_quantity(
         self, particle_quantity, points, first_order_correction: bool = False
     ) -> np.ndarray:

@@ -1155,12 +1155,10 @@ def reconstruct_surface_subdomain_grid(
 
     particle_neighbors = None
     if parameters.global_neighborhood_list:
-        from splashsurf_tpu.global_pipeline import _lists_to_csr
-
         lists = neighbors.neighborhood_search_spatial_hashing_parallel(
             positions, support
         )
-        particle_neighbors = _lists_to_csr(lists)
+        particle_neighbors = lists
 
     return SurfaceReconstruction(
         grid=sd.global_grid,

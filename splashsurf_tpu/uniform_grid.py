@@ -96,6 +96,14 @@ class UniformGrid:
     def n_points(self) -> Tuple[int, int, int]:
         return tuple(c + 1 for c in self.n_cells)
 
+    def ncells_per_dim(self) -> list:
+        """pysplashsurf.pyi parity: cells per dimension as a list."""
+        return list(self.n_cells)
+
+    def npoints_per_dim(self) -> list:
+        """pysplashsurf.pyi:295 parity: points per dimension as a list."""
+        return list(self.n_points)
+
     @property
     def total_cells(self) -> int:
         nx, ny, nz = self.n_cells
