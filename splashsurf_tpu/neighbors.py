@@ -917,7 +917,13 @@ def _phase_aligned_bingrid(
     s = float(bin_size) / 2.0
     mn = np.asarray(aabb_min, np.float64) - bin_size
     mx = np.asarray(aabb_max, np.float64) + bin_size
-    o = np.asarray(phases, np.float64) - s / 2.0
+    # Quantize the phase estimate to s/4096: single-device and sharded
+    # reductions sum in different orders, so raw phases differ in ulps —
+    # quantization makes both sides construct the IDENTICAL lattice (the
+    # estimate only needs ~s/4 accuracy).
+    q = s / 4096.0
+    phases = np.round(np.asarray(phases, np.float64) / q) * q
+    o = phases - s / 2.0
     k = np.ceil((o - mn) / s)
     origin = o - k * s  # largest octant-phase-aligned origin <= mn
     dims = np.maximum(np.ceil((mx - origin) / bin_size).astype(np.int64), 1)

@@ -243,6 +243,175 @@ def _overflow_correction_local(
 
 
 @functools.lru_cache(maxsize=32)
+def _phase_fn(mesh: Mesh):
+    """Jitted shard_map: per-axis circular mean of (x mod period) over the
+    sharded particle components (the sharded analog of
+    neighbors._octant_phase; no full-N array on any device)."""
+    from jax import shard_map
+
+    def local(px, py, pz, nv, period):
+        dtype = px.dtype
+        Nl = px.shape[0]
+        d = jax.lax.axis_index("sub")
+        gidx = d * Nl + jnp.arange(Nl, dtype=jnp.int32)
+        m = (gidx < nv) & jnp.isfinite(px)
+        out = []
+        for comp in (px, py, pz):
+            c0 = jnp.where(m, comp, 0.0)
+            frac = c0 - period * jnp.floor(c0 / period)
+            ang = frac * (2.0 * np.pi) / period
+            c = jax.lax.psum(jnp.sum(jnp.where(m, jnp.cos(ang), 0.0)), "sub")
+            s = jax.lax.psum(jnp.sum(jnp.where(m, jnp.sin(ang), 0.0)), "sub")
+            out.append(jnp.arctan2(s, c) / (2.0 * np.pi) * period)
+        return jnp.stack(out)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P("sub"), P("sub"), P("sub"), P(), P()),
+            out_specs=P(),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _density_fn_geoslot(mesh: Mesh, grid: BinGrid, D: int, slab_w: int, C: int):
+    """Jitted shard_map: route -> sort-free octant raster sweep -> route
+    back (the sharded analog of neighbors.compute_particle_densities_geoslot).
+
+    Bit-identity with the single-device geoslot program is by construction:
+    the octant slot is a pure function of the particle's position and the
+    (global) lattice, so slot assignment needs no order reproduction, and
+    the sweep shares _raster_sweep_xla's accumulation order per query bin.
+    Returns (rho P('sub'), ok replicated) — ok is False on any octant
+    collision or out-of-lattice particle; the caller falls back to the
+    sorted path exactly like the single-device planning frame.
+    """
+    from jax import shard_map
+
+    LX, LY, LZ = grid.dims
+    LXl = slab_w + 2
+    Yp, Zp = LY + 2, LZ + 2
+    Xp = LXl + 2
+    W = LY * Zp
+    M = D * C
+
+    def local(px, py, pz, nv, h):
+        dtype = px.dtype
+        Nl = px.shape[0]
+        d = jax.lax.axis_index("sub")
+        gidx = d * Nl + jnp.arange(Nl, dtype=jnp.int32)
+        bins, bx, valid = _bins_local(px, py, pz, grid, gidx, nv)
+        sid = jnp.clip(bx // slab_w, 0, D - 1)
+
+        # in-lattice: raw (unclipped) bin coords in range for every valid
+        # source particle (mirrors the single-device geoslot check)
+        bs = jnp.asarray(grid.bin_size, dtype)
+        in_lat = jnp.asarray(True)
+        for i, comp in enumerate((px, py, pz)):
+            mn_i = jnp.asarray(grid.min[i], dtype)
+            raw = jnp.floor(
+                (jnp.where(valid, comp, mn_i) - mn_i) / bs
+            ).astype(jnp.int32)
+            in_lat = in_lat & ~jnp.any(
+                valid & ((raw < 0) | (raw >= grid.dims[i]))
+            )
+        in_lat = jax.lax.pmin(in_lat.astype(jnp.int32), "sub") > 0
+
+        # ---- send buffers (identical routing to the sorted sharded path)
+        send = [jnp.full((M,), jnp.inf, dtype) for _ in range(3)]
+        src_row = jnp.full((M,), Nl, jnp.int32)
+        lidx = jnp.arange(Nl, dtype=jnp.int32)
+        for dst in range(D):
+            owner, halo = _route_masks(bx, sid, valid, dst, slab_w, D)
+            m = owner | halo
+            rank = jnp.cumsum(m) - 1
+            row = jnp.where(m & (rank < C), dst * C + rank, M)
+            for k, comp in enumerate((px, py, pz)):
+                send[k] = send[k].at[row].set(
+                    comp, mode="drop", unique_indices=True
+                )
+            orow = jnp.where(owner & (rank < C), row, M)
+            src_row = src_row.at[orow].set(
+                lidx, mode="drop", unique_indices=True
+            )
+
+        rx = [
+            jax.lax.all_to_all(s, "sub", split_axis=0, concat_axis=0, tiled=True)
+            for s in send
+        ]
+        rxx, rxy, rxz = rx
+
+        # ---- receiver: octant addressing on the local slab, no sort
+        rbins, rbx, _ = _bins_local(
+            rxx, rxy, rxz, grid, jnp.zeros((M,), jnp.int32), jnp.int32(1)
+        )
+        rvalid = jnp.isfinite(rxx)
+        x0 = d * slab_w
+        lx = rbx - (x0 - 1)
+        in_slab = rvalid & (lx >= 0) & (lx < LXl)
+        rby = (rbins // LZ) % LY
+        rbz = rbins % LZ
+        mn = [jnp.asarray(grid.min[i], dtype) for i in range(3)]
+        half = bs * jnp.asarray(0.5, dtype)
+        bcoord = [rbx, rby, rbz]
+        fracs, oct_bits = [], []
+        for i, comp in enumerate((rxx, rxy, rxz)):
+            f = comp - (mn[i] + bcoord[i].astype(dtype) * bs)
+            fracs.append(f)
+            oct_bits.append((f >= half).astype(jnp.int32))
+        oct = (oct_bits[0] << 2) | (oct_bits[1] << 1) | oct_bits[2]
+        total = 8 * Xp * Yp * Zp
+        lx_c = jnp.clip(lx, 0, LXl - 1)
+        dest = jnp.where(
+            in_slab,
+            ((oct * Xp + lx_c + 1) * Yp + rby + 1) * Zp + (rbz + 1),
+            total,
+        )
+        counts = jnp.zeros((total,), jnp.int32).at[dest].add(1, mode="drop")
+        cme = jnp.where(in_slab, counts[jnp.minimum(dest, total - 1)], 0)
+        ok = in_slab & (cme == 1)
+        no_coll = (
+            jax.lax.psum(jnp.sum((cme > 1).astype(jnp.int32)), "sub") == 0
+        )
+
+        rdest = jnp.where(ok, dest, total)
+        rasters = [
+            jnp.full((total,), jnp.inf, dtype)
+            .at[rdest]
+            .set(f, mode="drop", unique_indices=True)
+            .reshape(8, Xp, Yp, Zp)
+            for f in fracs
+        ]
+        acc = _raster_sweep_xla(rasters, LXl, Yp, Zp, bs, h)
+        acc_flat = acc.reshape(-1)
+        src = jnp.where(ok, (oct * LXl + lx_c) * W + rby * Zp + rbz, 0)
+        rho_rows = jnp.where(ok, acc_flat[src], 0.0)
+
+        back = jax.lax.all_to_all(
+            rho_rows, "sub", split_axis=0, concat_axis=0, tiled=True
+        )
+        rho_local = (
+            jnp.zeros((Nl,), dtype)
+            .at[src_row]
+            .set(back, mode="drop", unique_indices=True)
+        )
+        return rho_local, (no_coll & in_lat)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P("sub"), P("sub"), P("sub"), P(), P()),
+            out_specs=(P("sub"), P()),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
 def _density_fn(
     mesh: Mesh,
     grid: BinGrid,
@@ -475,6 +644,39 @@ def compute_particle_densities_sharded(
             grid, slab_w = grid2, sw2
             cnt_max, max_occ, over8, n_bins = st2
     lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    import os
+
+    if (
+        lattice <= 8_000_000
+        and n_bins >= lattice // 4
+        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "0") == "1"
+    ):
+        # Sort-free octant path (mirrors the single-device wrapper's
+        # geoslot attempt): phase-align the lattice, try the sharded
+        # geoslot program, fall back to the sorted formulations on any
+        # octant collision.
+        from splashsurf_tpu.neighbors import _phase_aligned_bingrid
+
+        phases = jax.device_get(
+            _phase_fn(mesh)(
+                *comps, nv_j,
+                jnp.asarray(compact_support_radius / 2.0, dtype),
+            )
+        )
+        agrid = _phase_aligned_bingrid(
+            mn, mx, compact_support_radius, phases
+        )
+        alat = agrid.dims[0] * agrid.dims[1] * agrid.dims[2]
+        if alat <= 8_000_000:
+            asw, (acnt_max, _, _, _) = stats_for(agrid)
+            Cg = _pow2_at_least(max(acnt_max, 1), lo=64)
+            rho_g, ok_g = _density_fn_geoslot(mesh, agrid, D, asw, Cg)(
+                *comps, nv_j, jnp.asarray(compact_support_radius, dtype)
+            )
+            if bool(jax.device_get(ok_g)):
+                rho = jnp.asarray(particle_rest_mass, dtype) * rho_g
+                return rho[:n]
+
     use_raster = (
         lattice <= 8_000_000
         and n_bins >= lattice // 4

@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Isolate tests from the production .jax_cache: it holds TPU programs and
+# may hold CPU AOT entries compiled on a DIFFERENT host generation (the
+# XLA cpu_aot_loader warns about mismatched machine features and loading
+# such an entry segfaulted a full-suite run mid-compile). CLI/pipeline
+# tests call enable_persistent_cache(), which honors this env var.
+os.environ.setdefault("SPLASHSURF_TPU_CACHE", "/tmp/splashsurf_tpu_test_cache")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -118,3 +118,53 @@ class TestShardedDensity:
         )
         assert rho_s.shape == rho_1.shape == (len(pts),)
         assert np.array_equal(rho_s, rho_1)
+
+
+class TestShardedGeoslot:
+    """Sharded sort-free octant density == single-device geoslot, bitwise.
+
+    Octant addressing is a pure function of position and the (quantized)
+    phase-aligned lattice, so sharded == single-device needs no order
+    reproduction at all — assert it bitwise, and assert the collision
+    fallback keeps both wrappers on the sorted path together.
+    """
+
+    def test_bitwise_matches_single_device_geoslot(self, monkeypatch):
+        mesh = _mesh()
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1")
+        neighbors.clear_density_plan()
+        # rest-spacing lattice: bin = support -> octant = support/2 spacing
+        rng = np.random.default_rng(1)
+        spacing = SUPPORT / 2.0
+        coords = (np.arange(16) + 0.5) * spacing
+        X, Y, Z = np.meshgrid(coords, coords, coords, indexing="ij")
+        pts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+        pts += (rng.uniform(-0.2, 0.2, pts.shape) * spacing).astype(
+            np.float32
+        )
+        pts += np.float32(0.2345)  # arbitrary AABB phase
+        rho_s = compute_particle_densities_sharded(
+            pts, SUPPORT, MASS, mesh=mesh
+        )
+        rho_1 = neighbors.compute_particle_densities(pts, SUPPORT, MASS)
+        assert np.array_equal(np.asarray(rho_s), np.asarray(rho_1)), (
+            np.max(np.abs(np.asarray(rho_s) - np.asarray(rho_1)))
+        )
+        # sanity: the single-device side actually took geoslot
+        rho_p, chk = neighbors.compute_particle_densities(
+            pts, SUPPORT, MASS, speculate=True
+        )
+        (plan,) = neighbors._DENSITY_PLAN.values()
+        assert plan["kind"] == "geoslot"
+
+    def test_collision_falls_back_in_both_wrappers(self, monkeypatch):
+        mesh = _mesh()
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1")
+        neighbors.clear_density_plan()
+        pts = _grid_cloud()
+        pts[1] = pts[0] + 1e-6  # octant collision everywhere-fallback
+        rho_s = compute_particle_densities_sharded(
+            pts, SUPPORT, MASS, mesh=mesh
+        )
+        rho_1 = neighbors.compute_particle_densities(pts, SUPPORT, MASS)
+        assert np.array_equal(np.asarray(rho_s), np.asarray(rho_1))
