@@ -1232,7 +1232,7 @@ def compute_particle_densities(
         capacity is None
         and lattice <= 8_000_000
         and n_bins >= lattice // 4
-        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "0") == "1"
+        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1") == "1"
     ):
         # Sort-free fast path: valid only when every particle owns its
         # half-bin octant of a lattice PHASE-ALIGNED to the particle

@@ -649,7 +649,7 @@ def compute_particle_densities_sharded(
     if (
         lattice <= 8_000_000
         and n_bins >= lattice // 4
-        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "0") == "1"
+        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1") == "1"
     ):
         # Sort-free octant path (mirrors the single-device wrapper's
         # geoslot attempt): phase-align the lattice, try the sharded
