@@ -183,7 +183,8 @@ def sharded_chunk_mc(mesh: Mesh, sd: SubdomainGridParams, vcap_local: int, tcap_
 
 @functools.lru_cache(maxsize=32)
 def sharded_scan_splat(
-    mesh: Mesh, sd: SubdomainGridParams, hsc: int, K: int, unroll, kind: str
+    mesh: Mesh, sd: SubdomainGridParams, hsc: int, K: int, unroll, kind: str,
+    support: float = None,
 ):
     """Sharded chunk-group splat: shard_map over the CHUNK axis, each
     device scanning its chunks with the SAME (C, K)-shaped scan body as the
@@ -196,11 +197,11 @@ def sharded_scan_splat(
     from splashsurf_tpu.subdomains import _scan_splat
 
     def local(pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
-              rows_mat, support):
+              rows_mat):
         return _scan_splat(
             pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
-            rows_mat, sd=sd, support=support, hsc=hsc, K=K, unroll=unroll,
-            kind=kind,
+            rows_mat, sd=sd, support=float(support), hsc=hsc, K=K,
+            unroll=unroll, kind=kind,
         )
 
     return jax.jit(
@@ -208,7 +209,7 @@ def sharded_scan_splat(
             local,
             mesh=mesh,
             check_vma=False,
-            in_specs=(P(),) * 8 + (P("sub"), P()),
+            in_specs=(P(),) * 8 + (P("sub"),),
             out_specs=(P("sub"), P("sub")),
         )
     )

@@ -949,17 +949,18 @@ def reconstruct_surface_subdomain_grid(
             ls_g, overs_g = _scan_splat(
                 positions_ext, values_ext, pid_s, cell_s, rank_s,
                 starts_d, counts_d, sub_ijk_d, jnp.asarray(rows_mat),
-                sd=sd, support=jnp.asarray(support, dtype), hsc=hsc,
+                sd=sd, support=float(support), hsc=hsc,
                 K=K, unroll=unroll, kind=kind,
             )
         else:
-            f = pmesh.sharded_scan_splat(dev_mesh, sd, hsc, K, unroll, kind)
+            f = pmesh.sharded_scan_splat(
+                dev_mesh, sd, hsc, K, unroll, kind, float(support)
+            )
             ls_g, overs_g = f(
                 positions_ext, values_ext, jnp.asarray(pid_s),
                 jnp.asarray(cell_s), jnp.asarray(rank_s), starts_d,
                 counts_d, sub_ijk_d,
                 jax.device_put(jnp.asarray(rows_mat), batch_sh),
-                jnp.asarray(support, dtype),
             )
         # compact each chunk's valid rows out of the (Gb, C) block
         flat_idx = np.concatenate(
@@ -1181,11 +1182,11 @@ def _bucket_count(n0: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sd", "hsc", "K", "unroll", "kind")
+    jax.jit, static_argnames=("sd", "support", "hsc", "K", "unroll", "kind")
 )
 def _scan_splat(
     positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
-    sub_ijk_d, rows_mat, sd: SubdomainGridParams, support, hsc: int,
+    sub_ijk_d, rows_mat, sd: SubdomainGridParams, support: float, hsc: int,
     K: int, unroll, kind: str,
 ):
     """Scan the per-chunk splat over a (G, C) chunk-row matrix: ONE device
