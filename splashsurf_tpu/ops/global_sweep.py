@@ -30,6 +30,7 @@ import numpy as np
 
 from splashsurf_tpu import kernels
 from splashsurf_tpu.density import gather_cell_offsets, supported_point_offsets
+from splashsurf_tpu.ops.prefix import cumsum_small_i32
 from splashsurf_tpu.mc import lut
 from splashsurf_tpu.mc import dense as mc_dense
 from splashsurf_tpu.uniform_grid import UniformGrid
@@ -98,26 +99,50 @@ def rasterize_global(
         & (cell[1] >= 0) & (cell[1] < ncy)
         & (cell[2] >= 0) & (cell[2] < ncz)
     )
-    flat = (cell[0] * ncy + cell[1]) * ncz + cell[2]
-    flat = jnp.where(valid, flat, np.int32(2**31 - 1))
+    import os
 
-    # slot ranks: stable sort by cell id, run-boundary rank, undo the sort
-    order = jnp.argsort(flat, stable=True).astype(jnp.int32)
-    sf = flat[order]
-    is_start = jnp.concatenate([jnp.array([True]), sf[1:] != sf[:-1]])
-    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    ncells = ncx * ncy * ncz
+    cflat = jnp.where(valid, (cell[0] * ncy + cell[1]) * ncz + cell[2], ncells)
     idx = jnp.arange(n, dtype=jnp.int32)
-    run_starts = (
-        jnp.zeros((n,), jnp.int32)
-        .at[jnp.where(is_start, run_id, n)]
-        .set(idx, mode="drop", unique_indices=True)
-    )
-    rank_sorted = idx - run_starts[run_id]
-    rank = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(rank_sorted, mode="drop", unique_indices=True)
-    )
+
+    if os.environ.get("SPLASHSURF_TPU_RASTER_SORTFREE", "1") == "1":
+        # Slot ranks WITHOUT the full-N sort: ``slots`` scatter-min passes
+        # over a per-cell table assign ranks in ascending particle index —
+        # the same determinism contract as the sorted formulation (rank r
+        # goes to the (r+1)-th smallest particle index in the cell), at ~2
+        # scatter+gather passes instead of a 2M-key radix sort. Particles
+        # beyond ``slots`` spill to the overflow path.
+        sentinel = jnp.int32(n)
+        rank = jnp.full((n,), slots, jnp.int32)
+        remaining = valid
+        for r in range(slots):
+            tbl = (
+                jnp.full((ncells + 1,), sentinel)
+                .at[jnp.where(remaining, cflat, ncells)]
+                .min(idx)
+            )
+            won = remaining & (tbl[cflat] == idx)
+            rank = jnp.where(won, r, rank)
+            remaining = remaining & ~won
+    else:
+        # sorted formulation: stable sort by cell id, run-boundary rank,
+        # undo the sort
+        sflat = jnp.where(valid, cflat, np.int32(2**31 - 1))
+        order = jnp.argsort(sflat, stable=True).astype(jnp.int32)
+        sf = sflat[order]
+        is_start = jnp.concatenate([jnp.array([True]), sf[1:] != sf[:-1]])
+        run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        run_starts = (
+            jnp.zeros((n,), jnp.int32)
+            .at[jnp.where(is_start, run_id, n)]
+            .set(idx, mode="drop", unique_indices=True)
+        )
+        rank_sorted = idx - run_starts[run_id]
+        rank = (
+            jnp.zeros((n,), jnp.int32)
+            .at[order]
+            .set(rank_sorted, mode="drop", unique_indices=True)
+        )
 
     ok = valid & (rank < slots)
     total = slots * Xp * Yp * Zp
@@ -143,7 +168,7 @@ def rasterize_global(
 
     # overflow compaction
     over = valid & (rank >= slots)
-    odest = jnp.where(over, jnp.cumsum(over) - 1, overflow_capacity)
+    odest = jnp.where(over, cumsum_small_i32(over) - 1, overflow_capacity)
     opos = [
         jnp.full((overflow_capacity,), -1e30, dtype).at[odest].set(px[d], mode="drop")
         for d in range(3)
@@ -313,7 +338,7 @@ def mc_global_packed(
         sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
         masks.append((inside[sl0] != inside[sl1]).reshape(-1))
     mask = jnp.concatenate(masks)
-    vidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    vidx = cumsum_small_i32(mask) - 1
     total_v = (vidx[-1] + 1).astype(jnp.int32)
     n_edges = mask.shape[0]
     # capacity scatter (measured FASTER in-graph than a binary search over
@@ -351,7 +376,7 @@ def mc_global_packed(
         case = case | (corner.astype(jnp.int32) << c8)
     case_flat = case.reshape(-1)
     counts = jnp.asarray(lut.TRI_COUNT, jnp.int32)[case_flat]
-    ccum = jnp.cumsum(counts)
+    ccum = cumsum_small_i32(counts)
     offsets = ccum - counts
     total_t = ccum[-1]
 
@@ -361,7 +386,7 @@ def mc_global_packed(
         # ~3x fewer bytes across the device link, and the per-slot
         # forward-fill + triangle-corner gathers move to cheap host numpy.
         active = counts > 0
-        acum = jnp.cumsum(active.astype(jnp.int32))
+        acum = cumsum_small_i32(active)
         total_c = acum[-1]
         n_cells_flat = case_flat.shape[0]
         ucdest = jnp.where(active, acum - 1, triangle_capacity)
@@ -499,7 +524,7 @@ def mc_global_cells(
         word = word | (pad_to_points(em.astype(jnp.int32)) << bit)
     word_flat = word.reshape(-1)
     active = word_flat != 0
-    acum = jnp.cumsum(active.astype(jnp.int32))
+    acum = cumsum_small_i32(active)
     total_c = acum[-1]
     ucdest = jnp.where(active, acum - 1, cap)
     points_c = (
@@ -518,7 +543,7 @@ def mc_global_cells(
     ey = (words_c >> 9) & 1
     ez = (words_c >> 10) & 1
     emask = jnp.concatenate([ex, ey, ez]) == 1  # (3*cap,) axis-major
-    vcum = jnp.cumsum(emask.astype(jnp.int32))
+    vcum = cumsum_small_i32(emask)
     total_v = vcum[-1]
     vidx_pos = vcum - 1  # GLOBAL vertex index of active slot (axis*cap + rank)
 
@@ -551,7 +576,7 @@ def mc_global_cells(
             points_c,
             words_c.astype(jnp.uint16),
             total_v,
-            jnp.cumsum(counts_enc)[-1],
+            jnp.sum(counts_enc),
             total_c,
         )
     vci = p0 // (PY * PZ)
@@ -576,7 +601,7 @@ def mc_global_cells(
     )
     cases_c = words_c & 0xFF
     counts = jnp.asarray(lut.TRI_COUNT, jnp.int32)[cases_c]
-    ccum = jnp.cumsum(counts)
+    ccum = cumsum_small_i32(counts)
     offsets = ccum - counts
     total_t = ccum[-1]
     # forward-fill: which active-point slot owns each triangle slot
