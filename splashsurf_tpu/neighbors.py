@@ -1331,3 +1331,108 @@ def compute_particle_densities(
 
 def _round_up(n: int, m: int = 8) -> int:
     return ((max(int(n), 1) + m - 1) // m) * m
+
+
+# --- density-formulation gate (single source of truth) ----------------------
+#
+# Both compute_particle_densities (above) and the sharded
+# parallel.density.compute_particle_densities_sharded consume THESE decisions;
+# the sharded subdomain pipeline's bit-identity contract depends on both
+# paths picking the same formulation on the same scene, so the selection
+# logic must never be duplicated (it diverges silently otherwise).
+
+# Largest materializable bin lattice for the raster/geoslot formulations.
+GATE_LATTICE_MAX = 8_000_000
+
+# Diagnostic: the last decision taken by each wrapper ("single"/"sharded"),
+# for tests asserting the two paths agree near the gate boundaries.
+LAST_GATE: dict = {}
+
+
+def density_over_budget(n: int) -> int:
+    """Overflow-correction budget: past this many rank>=8 particles the K=8
+    fast paths stop paying off and occupancy-K pair blocks win."""
+    return max(4096, int(n) // 128)
+
+
+def density_phase_retry(n: int, over8: int) -> bool:
+    """Whether to retry binning with the origin shifted by half a bin
+    (the lattice-phase landmine: fluids resting on a 2r lattice tie-break
+    onto bin boundaries for unlucky origins)."""
+    return over8 > density_over_budget(n)
+
+
+def phase_shifted_bingrid(grid: BinGrid, compact_support_radius: float) -> BinGrid:
+    """The half-bin-shifted retry lattice for :func:`density_phase_retry`."""
+    half = compact_support_radius / 2.0
+    return BinGrid(
+        min=tuple(m - half for m in grid.min),
+        bin_size=grid.bin_size,
+        dims=tuple(_bucket_lattice_dim(d + 1) for d in grid.dims),
+    )
+
+
+def density_gate(
+    n: int, lattice: int, n_bins: int, max_occ: int, over8: int,
+    which: str = "single",
+):
+    """Pick the density formulation for a scene's binning statistics.
+
+    Returns a dict with:
+      try_geoslot: attempt the sort-free octant path (still subject to the
+        per-frame octant-collision check — a True here is not a commitment);
+      use_raster: dense raster-sweep formulation (with the K=8 overflow
+        correction capacities ``ocap``/``ccap`` when max_occ > 8);
+      otherwise the caller falls back to the binned formulations.
+    """
+    import os
+
+    over_budget = density_over_budget(n)
+    dense_enough = lattice <= GATE_LATTICE_MAX and n_bins >= lattice // 4
+    try_geoslot = (
+        dense_enough
+        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1") == "1"
+        and _geoslot_wanted()
+    )
+    use_raster = dense_enough and (max_occ <= 8 or over8 <= over_budget)
+    ocap = ccap = 0
+    if use_raster and max_occ > 8:
+        # headroom so frame-to-frame occupancy drift keeps the plan valid;
+        # 256-step bucketing keeps the correction's pair block small
+        ocap = _round_up(max(2 * over8, 256), 256)
+        ccap = _round_up(max_occ + 8)
+    decision = dict(
+        try_geoslot=try_geoslot,
+        use_raster=use_raster,
+        ocap=ocap,
+        ccap=ccap,
+        over_budget=over_budget,
+    )
+    LAST_GATE[which] = dict(
+        decision,
+        n=n, lattice=lattice, n_bins=n_bins, max_occ=max_occ, over8=over8,
+    )
+    return decision
+
+
+# Geoslot hysteresis: scenes that keep colliding (compressed fluids) pay the
+# full failed attempt (octant program + device round trip) every planning
+# frame before falling back to the sorted paths. After
+# _GEOSLOT_MAX_CONSECUTIVE_MISSES consecutive collisions the wrapper stops
+# attempting geoslot for the rest of the process (a success resets the
+# counter). State is process-global — sequences switch scenes rarely, and a
+# false negative only costs the sorted path's speed, never correctness.
+_GEOSLOT_MISSES = [0]
+_GEOSLOT_MAX_CONSECUTIVE_MISSES = 3
+
+
+def _geoslot_wanted() -> bool:
+    return _GEOSLOT_MISSES[0] < _GEOSLOT_MAX_CONSECUTIVE_MISSES
+
+
+def _note_geoslot_outcome(ok: bool) -> None:
+    _GEOSLOT_MISSES[0] = 0 if ok else _GEOSLOT_MISSES[0] + 1
+
+
+def reset_geoslot_hysteresis() -> None:
+    _GEOSLOT_MISSES[0] = 0

@@ -59,6 +59,10 @@ _GRID_PLAN: dict = {}
 # would double-compute every frame, so these pay the cheap AABB pull instead.
 _GRID_NOSPEC: set = set()
 _PENDING_NOSPEC: dict = {}
+# Keys whose warm-frame program set has been pre-traced (see planned_cold in
+# reconstruct_surface): once per key is enough — re-planning after a miss
+# reuses the already-compiled warm programs.
+_WARMED: set = set()
 
 
 class GridPlanMiss(RuntimeError):
@@ -68,6 +72,7 @@ class GridPlanMiss(RuntimeError):
 def clear_grid_plan():
     _GRID_PLAN.clear()
     _GRID_NOSPEC.clear()
+    _WARMED.clear()
 
 
 import functools as _functools
@@ -244,6 +249,7 @@ def reconstruct_surface(
     base_positions = particle_positions
 
     rec = None
+    planned_cold = False
     for attempt in range(2):
         use_cached_grid = (
             attempt == 0
@@ -376,9 +382,28 @@ def reconstruct_surface(
                 if _PENDING_NOSPEC.pop(gkey, None) == (grid, raw_nc):
                     _GRID_NOSPEC.add(gkey)
                 else:
+                    if not use_cached_grid and gkey not in _WARMED:
+                        planned_cold = True
                     _GRID_PLAN[gkey] = (grid, raw_nc)
         break
     assert rec is not None
+
+    if planned_cold:
+        # Planning frames compile the COLD program set; the next frame would
+        # otherwise pay several seconds tracing+compiling the WARM set
+        # (_densities_planned, the fitted-overflow rasterize/sweep, the grid
+        # check — measured 4.2 s on frame 1 of an animation at 2M). Dispatch
+        # one discarded deferred-pull frame on the same input: it exercises
+        # exactly the warm-frame programs with no host round trip, moving
+        # the one-time cost into the planning frame.
+        import os
+
+        if os.environ.get("SPLASHSURF_TPU_PREWARM", "1") == "1":
+            _WARMED.add(gkey)
+            try:
+                reconstruct_surface(_orig_input, parameters, _defer_pull=True)
+            except Exception:
+                _WARMED.discard(gkey)
 
     # Trim count-padding dummies out of per-particle outputs.
     if n_padded > n_real:
