@@ -1197,20 +1197,15 @@ def compute_particle_densities(
     )
     max_occ, n_bins, over8 = (int(x) for x in jax.device_get(stats))
     n = positions.shape[0]
-    over_budget = max(4096, n // 128)
+    over_budget = density_over_budget(n)
 
-    if over8 > over_budget and capacity is None:
+    if capacity is None and density_phase_retry(n, over8):
         # Lattice-phase landmine: a fluid resting on a 2r lattice (half the
         # bin size) tie-breaks onto bin boundaries for unlucky origins —
         # occupancy jumps from 8 to 12+ per bin and the fast K=8 paths
         # collapse to K=max_occ pair blocks. Retry once with the origin
         # shifted by half a bin; keep whichever phase overflows less.
-        half = compact_support_radius / 2.0
-        grid2 = BinGrid(
-            min=tuple(m - half for m in grid.min),
-            bin_size=grid.bin_size,
-            dims=tuple(_bucket_lattice_dim(d + 1) for d in grid.dims),
-        )
+        grid2 = phase_shifted_bingrid(grid, compact_support_radius)
         cl2, stats2 = _build_cell_list_with_stats(
             positions, grid2, n_valid=nv, has_n_valid=has_nv
         )
@@ -1226,14 +1221,13 @@ def compute_particle_densities(
     # Dense bin lattices (the common dense-fluid case) take the raster-sweep
     # formulation: shifted windows instead of per-offset row gathers.
     lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
-    import os
+    gate = (
+        density_gate(n, lattice, n_bins, max_occ, over8, which="single")
+        if capacity is None
+        else dict(try_geoslot=False, use_raster=False, ocap=0, ccap=0)
+    )
 
-    if (
-        capacity is None
-        and lattice <= 8_000_000
-        and n_bins >= lattice // 4
-        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1") == "1"
-    ):
+    if gate["try_geoslot"]:
         # Sort-free fast path: valid only when every particle owns its
         # half-bin octant of a lattice PHASE-ALIGNED to the particle
         # structure (an arbitrary AABB phase straddles octant boundaries
@@ -1247,11 +1241,19 @@ def compute_particle_densities(
             )
         )
         agrid = _phase_aligned_bingrid(mn, mx, compact_support_radius, phases)
-        rho_g, ok_g = compute_particle_densities_geoslot(
-            positions, agrid, compact_support_radius, particle_rest_mass,
-            n_valid=nv, has_n_valid=has_nv,
-        )
-        if bool(jax.device_get(ok_g)):
+        alat = agrid.dims[0] * agrid.dims[1] * agrid.dims[2]
+        if alat > GATE_LATTICE_MAX:
+            # phase-aligned lattice bucketed past the gate: skip the attempt
+            # (the sharded wrapper applies the same guard — keep in sync)
+            ok_g = False
+        else:
+            rho_g, ok_g = compute_particle_densities_geoslot(
+                positions, agrid, compact_support_radius, particle_rest_mass,
+                n_valid=nv, has_n_valid=has_nv,
+            )
+            ok_g = bool(jax.device_get(ok_g))
+            _note_geoslot_outcome(ok_g)
+        if ok_g:
             if speculate:
                 _DENSITY_PLAN[key] = dict(
                     grid=agrid, kind="geoslot", slots=8, u_cap=u_cap,
@@ -1261,18 +1263,9 @@ def compute_particle_densities(
             return rho_g
         # collisions: fall through to the sorted formulations
 
-    if (
-        capacity is None
-        and lattice <= 8_000_000
-        and n_bins >= lattice // 4
-        and (max_occ <= 8 or over8 <= over_budget)
-    ):
-        if max_occ > 8:
-            # headroom so frame-to-frame occupancy drift keeps the plan
-            # valid; 256-step bucketing keeps the correction's pair block
-            # small (it is ~(OC, 27*ccap) — a 1024 floor was 90%+ padding)
-            overflow_capacity = _round_up(max(2 * over8, 256), 256)
-            candidate_capacity = _round_up(max_occ + 8)
+    if gate["use_raster"]:
+        overflow_capacity = gate["ocap"]
+        candidate_capacity = gate["ccap"]
         rho = compute_particle_densities_raster(
             positions,
             grid,

@@ -112,6 +112,10 @@ def rasterize_global(
         # goes to the (r+1)-th smallest particle index in the cell), at ~2
         # scatter+gather passes instead of a 2M-key radix sort. Particles
         # beyond ``slots`` spill to the overflow path.
+        # COST IS SLOTS-LINEAR: each round materializes a fresh
+        # (ncells+1) int32 table (~192 MB/round at the 48M-cell dense
+        # gate) — fine at slots=2, a silent HBM-traffic cliff if slots is
+        # ever raised; prefer the sorted formulation past slots ~4.
         sentinel = jnp.int32(n)
         rank = jnp.full((n,), slots, jnp.int32)
         remaining = valid

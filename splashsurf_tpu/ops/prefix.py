@@ -44,6 +44,18 @@ def cumsum_small_i32(x, block: int = 512):
     x = jnp.asarray(x)
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int32)
+    if os.environ.get("SPLASHSURF_TPU_DEBUG_CHECKS", "0") == "1":
+        # Exactness-contract guard (diagnosis only — a host callback per
+        # call): a caller feeding values outside [0, 255] would get silently
+        # wrong prefix sums and corrupt compaction indices downstream.
+        def _check(bad):
+            if bad:
+                raise ValueError(
+                    "cumsum_small_i32: input outside the exact range "
+                    "[0, 255] — route large-valued inputs to jnp.cumsum"
+                )
+
+        jax.debug.callback(_check, jnp.any((x < 0) | (x > 255)))
     n = x.shape[0]
     if n < 4 * block or os.environ.get("SPLASHSURF_TPU_MXU_CUMSUM", "1") != "1":
         return jnp.cumsum(x)

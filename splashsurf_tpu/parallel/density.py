@@ -600,7 +600,10 @@ def compute_particle_densities_sharded(
             (jnp.min(positions, axis=0), jnp.max(positions, axis=0))
         )
     grid = BinGrid.for_domain(mn, mx, compact_support_radius)
-    if grid.dims[0] * grid.dims[1] * grid.dims[2] > 8_000_000:
+    if (
+        grid.dims[0] * grid.dims[1] * grid.dims[2]
+        > neighbors.GATE_LATTICE_MAX
+    ):
         return neighbors.compute_particle_densities(
             positions, compact_support_radius, particle_rest_mass,
             n_valid=n_valid,
@@ -624,33 +627,23 @@ def compute_particle_densities_sharded(
             for x in jax.device_get(_stats_fn(mesh, g, D, sw)(*comps, nv_j))
         )
 
-    # phase 1: exact capacities (one pull). Mirror the single-device
-    # wrapper's lattice-phase retry and raster gates EXACTLY so both paths
-    # pick the same formulation on the same scene (the sharded subdomain
-    # pipeline's bit-identity contract depends on it).
+    # phase 1: exact capacities (one pull). The formulation selection is
+    # the SHARED neighbors.density_gate — never duplicate it here (the
+    # sharded subdomain pipeline's bit-identity contract depends on both
+    # paths picking the same formulation on the same scene).
     slab_w, (cnt_max, max_occ, over8, n_bins) = stats_for(grid)
-    over_budget = max(4096, n // 128)
-    if over8 > over_budget:
-        from splashsurf_tpu.neighbors import _bucket_lattice_dim
-
-        half = compact_support_radius / 2.0
-        grid2 = BinGrid(
-            min=tuple(m - half for m in grid.min),
-            bin_size=grid.bin_size,
-            dims=tuple(_bucket_lattice_dim(d + 1) for d in grid.dims),
-        )
+    if neighbors.density_phase_retry(n, over8):
+        grid2 = neighbors.phase_shifted_bingrid(grid, compact_support_radius)
         sw2, st2 = stats_for(grid2)
         if st2[2] < over8:
             grid, slab_w = grid2, sw2
             cnt_max, max_occ, over8, n_bins = st2
     lattice = grid.dims[0] * grid.dims[1] * grid.dims[2]
-    import os
+    gate = neighbors.density_gate(
+        n, lattice, n_bins, max_occ, over8, which="sharded"
+    )
 
-    if (
-        lattice <= 8_000_000
-        and n_bins >= lattice // 4
-        and os.environ.get("SPLASHSURF_TPU_DENSITY_GEOSLOT", "1") == "1"
-    ):
+    if gate["try_geoslot"]:
         # Sort-free octant path (mirrors the single-device wrapper's
         # geoslot attempt): phase-align the lattice, try the sharded
         # geoslot program, fall back to the sorted formulations on any
@@ -667,32 +660,26 @@ def compute_particle_densities_sharded(
             mn, mx, compact_support_radius, phases
         )
         alat = agrid.dims[0] * agrid.dims[1] * agrid.dims[2]
-        if alat <= 8_000_000:
+        if alat <= neighbors.GATE_LATTICE_MAX:
             asw, (acnt_max, _, _, _) = stats_for(agrid)
             Cg = _pow2_at_least(max(acnt_max, 1), lo=64)
             rho_g, ok_g = _density_fn_geoslot(mesh, agrid, D, asw, Cg)(
                 *comps, nv_j, jnp.asarray(compact_support_radius, dtype)
             )
-            if bool(jax.device_get(ok_g)):
+            ok_g = bool(jax.device_get(ok_g))
+            neighbors._note_geoslot_outcome(ok_g)
+            if ok_g:
                 rho = jnp.asarray(particle_rest_mass, dtype) * rho_g
                 return rho[:n]
 
-    use_raster = (
-        lattice <= 8_000_000
-        and n_bins >= lattice // 4
-        and (max_occ <= 8 or over8 <= over_budget)
-    )
-    if not use_raster:
+    if not gate["use_raster"]:
         # the single-device wrapper would take the binned formulation here
         return neighbors.compute_particle_densities(
             positions, compact_support_radius, particle_rest_mass,
             n_valid=n_valid,
         )
     C = _pow2_at_least(max(cnt_max, 1), lo=64)
-    ocap = ccap = 0
-    if max_occ > 8:
-        ocap = _round_up(max(2 * over8, 256), 256)
-        ccap = _round_up(max_occ + 8)
+    ocap, ccap = gate["ocap"], gate["ccap"]
 
     rho = _density_fn(mesh, grid, D, slab_w, C, 8, ocap, ccap)(
         *comps, nv_j, jnp.asarray(compact_support_radius, dtype)

@@ -47,3 +47,14 @@ def data_dir():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _reset_geoslot_hysteresis():
+    """Geoslot hysteresis is process-global; collision-heavy tests must not
+    silently disable the geoslot attempt for later tests."""
+    from splashsurf_tpu import neighbors
+
+    neighbors.reset_geoslot_hysteresis()
+    yield
+    neighbors.reset_geoslot_hysteresis()

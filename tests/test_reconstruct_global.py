@@ -123,6 +123,42 @@ class TestSplatEquivalence:
         assert 0 < int(n_over) <= 2048  # slots=1 must overflow on this cloud
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
 
+    @pytest.mark.parametrize(
+        "flag", ["SPLASHSURF_TPU_RASTER_SORTFREE", "SPLASHSURF_TPU_MXU_CUMSUM"]
+    )
+    def test_raster_env_fallbacks_bit_identical(self, rng, flag, monkeypatch):
+        """The legacy sorted-rank / VPU-cumsum branches must stay live and
+        BIT-identical to the default sort-free/MXU formulations (the rank
+        assignment contract: rank r -> (r+1)-th smallest particle index in
+        the cell) on a multi-occupancy scene with overflow."""
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        # dense cloud + a clump so some cells hold >slots particles
+        pts = rng.uniform(0.1, 0.9, (1200, 3)).astype(np.float32)
+        pts = np.concatenate(
+            [pts, pts[:40] + np.float32(1e-4), pts[:7] + np.float32(2e-4)]
+        )
+        vals = rng.uniform(0.5, 2.0, (len(pts),)).astype(np.float32)
+        support = 0.1
+        grid = UniformGrid.from_aabb(Aabb3d((-0.1,) * 3, (1.1,) * 3), 0.0375)
+        hsc = kernel_extents(support, grid.cell_size).half_supported_cells
+
+        def run():
+            gs.rasterize_global.clear_cache()  # env flags are trace-time
+            return [
+                np.asarray(x)
+                for x in gs.rasterize_global(
+                    pts, vals, grid, 2, hsc, 1024, lane_align=1
+                )
+            ]
+
+        monkeypatch.setenv(flag, "1")
+        on = run()
+        monkeypatch.setenv(flag, "0")
+        off = run()
+        for a, b in zip(on, off):
+            assert np.array_equal(a, b, equal_nan=True)
+
 
 class TestSimpleCases:
     def test_single_particle_octahedron(self):
