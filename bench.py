@@ -231,13 +231,46 @@ def main():
     ]
     jax.block_until_ready(frames)
 
-    # Warmup (compiles every stage for this frame's shapes).
+    # Warmup (compiles every stage for this frame's shapes), with
+    # persistent-cache accountability: count hits/misses so a slow warmup is
+    # attributable (cache mismatch vs genuinely cold compile).
+    import logging
+
+    class _CacheCounter(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.DEBUG)
+            self.hits = 0
+            self.misses = []
+
+        def emit(self, record):
+            msg = record.getMessage()
+            if "Persistent compilation cache hit" in msg:
+                self.hits += 1
+            elif "PERSISTENT COMPILATION CACHE MISS" in msg:
+                self.misses.append(msg.split("'")[1] if "'" in msg else "?")
+
+    counter = _CacheCounter()
+    clog = logging.getLogger("jax._src.compiler")
+    old_level = clog.level
+    clog.addHandler(counter)
+    clog.setLevel(logging.DEBUG)
     t0 = time.perf_counter()
     rec = st.reconstruct_surface(jax.device_put(pts), params)
     warm = time.perf_counter() - t0
+    clog.removeHandler(counter)
+    clog.setLevel(old_level)
     print(
         f"# warmup (incl. compile): {warm:.2f}s; mesh: "
         f"{rec.mesh.num_vertices} verts / {rec.mesh.num_triangles} tris",
+        file=sys.stderr,
+    )
+    print(
+        f"# warmup cache: {counter.hits} hits, {len(counter.misses)} misses"
+        + (
+            " (miss: " + ", ".join(sorted(set(counter.misses))[:12]) + ")"
+            if counter.misses
+            else ""
+        ),
         file=sys.stderr,
     )
 
@@ -281,7 +314,15 @@ def main():
             print(profiling.write_to_string(), file=sys.stderr)
     best = min(times)
     mpps = n / best / 1e6
+    med = sorted(times)[len(times) // 2]
     print(f"# frame times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    print(
+        f"# median {med:.3f}s ({n / med / 1e6:.3f} Mp/s), "
+        f"max/min {max(times) / best:.2f}; note: the reference baseline "
+        f"(2.467 s) INCLUDES xyz load (58.6 ms) + VTK write (94.2 ms) "
+        f"(~6% of frame) which this metric excludes",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

@@ -843,14 +843,17 @@ def _sweep_dispatch(rasters, slots, LX, Yp, Zp, bs, h, backend, dtype):
     Xp = rasters[0].shape[1]
     W = (Yp - 2) * Zp
     if backend is None:
-        # The Pallas sweep is only ~10% faster end-to-end but costs Mosaic
-        # minutes of compile per new lattice shape over the remote tunnel;
-        # the XLA formulation compiles in seconds. Opt in explicitly.
+        # Default ON for TPU since the r4 A/B on the geoslot default path:
+        # 2M dense frame 0.499 -> 0.464 s (the XLA sweep round-trips
+        # (slots^2, LX, W) blocks through HBM; the Pallas plane sweep keeps
+        # them in VMEM). Cost: Mosaic minutes of compile per new bin-lattice
+        # shape — lattice dims are bucketed, so animation sequences pay it
+        # once; set =0 for compile-sensitive one-off scenes.
         import os
 
         use_pallas = (
             jax.default_backend() == "tpu"
-            and os.environ.get("SPLASHSURF_TPU_DENSITY_PALLAS", "0") == "1"
+            and os.environ.get("SPLASHSURF_TPU_DENSITY_PALLAS", "1") == "1"
         )
         backend = "pallas" if use_pallas else "xla"
     if backend.startswith("pallas") and dtype == jnp.float32:

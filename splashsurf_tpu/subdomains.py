@@ -507,6 +507,383 @@ def halo_overwrite(ls, own_flat, nb_idx, nb_flat):
 
 
 # ---------------------------------------------------------------------------
+# streaming mode: boundary-shell table instead of a resident ls_all
+# ---------------------------------------------------------------------------
+#
+# The non-streaming path materializes every occupied subdomain's (P, P, P)
+# level set at once (`ls_all`) — ~1.1 MB/subdomain at P=65, which caps a
+# single chip at ~10-14k occupied subdomains. The reference reconstructs
+# 82,156 subdomains on a laptop by never holding more than one scratch block
+# per thread (workspace.rs:12-79, dense_subdomains.rs:1215-1601). The
+# streaming mode is the TPU analog:
+#
+#   pass 1 (chunks in ascending subdomain-id order): splat each chunk's
+#     blocks, write their six boundary FACES into a (6, B+1, P*P) shell
+#     table, halo-correct the chunk from the table (min-id-wins only ever
+#     pulls from SMALLER ids, so id order makes the single pass sufficient —
+#     same-chunk donors are written before the gather), emit exact post-halo
+#     MC counts, and let the blocks die inside the scan.
+#   pass 2 (active chunks only): re-splat, halo-correct from the now-complete
+#     shell table, run batched MC with exact capacities from pass 1.
+#
+# Memory: the shell table is 6*P^2 floats/subdomain (~100 KB at P=65) — 11x
+# smaller than the blocks; peak HBM is shells + one chunk group in flight.
+# Cost: the splat runs twice (the reference similarly recomputes boundary
+# values on both sides of every subdomain face). The mesh is BIT-IDENTICAL
+# to the non-streaming path: splats are deterministic, and the halo reads
+# uncorrected donor faces exactly like halo_overwrite does. One corner is
+# only ulp-close: the raster-overflow scatter redo runs at a different batch
+# shape than the non-streaming patch path, and XLA's f32 scatter-add
+# reassociates across shapes (tests/test_streaming.py pins both contracts).
+
+
+def _face_index(o) -> tuple:
+    """(donor face index, remaining axes) for a receiver->donor direction.
+
+    The donor's mirrored region (halo_overwrite's ``reg_t``) lies in the
+    donor plane ``x_a = 0`` when o[a] == +1 and ``x_a = P-1`` when -1; faces
+    are stored [x0, xP, y0, yP, z0, zP].
+    """
+    a = next(ax for ax in range(3) if o[ax] != 0)
+    face = 2 * a + (0 if o[a] == 1 else 1)
+    return a, face
+
+
+def _extract_faces_flat(ls):
+    """(C, P, P, P) -> (6, C, P*P) boundary faces [x0, xP, y0, yP, z0, zP]."""
+    C, P = ls.shape[0], ls.shape[1]
+    faces = [
+        ls[:, 0], ls[:, P - 1],
+        ls[:, :, 0], ls[:, :, P - 1],
+        ls[:, :, :, 0], ls[:, :, :, P - 1],
+    ]
+    return jnp.stack([f.reshape(C, P * P) for f in faces], axis=0)
+
+
+def _halo_from_shells(ls, own_flat, nb_idx, nb_flat, shells):
+    """halo_overwrite for one chunk, donors gathered from the shell table.
+
+    ls: (C, P, P, P); own_flat: (C,); nb_idx/nb_flat: (26, C) (indices into
+    the shell table's row axis; INT32_MAX flat id when absent); shells:
+    (6, B+1, P*P) UNCORRECTED boundary faces. Matches halo_overwrite
+    bit-for-bit: same direction order, same min-id tracking, and the same
+    uncorrected candidate values (halo_overwrite reads the pre-overwrite
+    ``ls`` too).
+    """
+    P = ls.shape[1]
+    out = ls
+    best = jnp.broadcast_to(
+        own_flat[:, None, None, None], ls.shape
+    ).astype(jnp.int32)
+    for d, o in enumerate(_DIRS26):
+        reg_s = (slice(None),) + tuple(_region(int(c), P) for c in o)
+        a, face = _face_index(o)
+        donor = shells[face][nb_idx[d]].reshape(-1, P, P)  # (C, P, P)
+        rem = [ax for ax in range(3) if ax != a]
+        sl = tuple(_mirror(int(o[ax]), P) for ax in rem)
+        cand_val = jnp.expand_dims(donor[(slice(None),) + sl], axis=1 + a)
+        cand_flat = nb_flat[d][:, None, None, None]
+        take = cand_flat < best[reg_s]
+        out = out.at[reg_s].set(jnp.where(take, cand_val, out[reg_s]))
+        best = best.at[reg_s].set(jnp.where(take, cand_flat, best[reg_s]))
+    return out
+
+
+def _mc_counts_blocks(ls, iso):
+    """Per-block vertex/triangle counts ((C,) each) — chunk_mc_counts' body."""
+
+    def one(v):
+        inside = v >= iso
+        nv = 0
+        for a in range(3):
+            sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+            sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+            nv += jnp.sum((inside[sl0] != inside[sl1]).astype(jnp.int32))
+        case = mc_dense._case_indices(inside)
+        nt = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
+        return nv, nt
+
+    return jax.vmap(one)(ls)
+
+
+def _splat_chunk(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
+    sub_ijk_ext, rows, sd, support, hsc, K, unroll, kind,
+):
+    """One chunk's (C, P, P, P) level sets + raster-overflow count."""
+    n = positions_ext.shape[0] - 1
+    plists = _gather_pairs(pid_s, starts, counts, rows, K, n)
+    sub_ijk = sub_ijk_ext[rows]
+    if kind == "raster":
+        plocal = _gather_pairs(cell_s, starts, counts, rows, K, 0)
+        prank = _gather_pairs(rank_s, starts, counts, rows, K, 1 << 30)
+        return chunk_levelset_raster(
+            positions_ext, values_ext, plists, plocal, prank, sub_ijk,
+            sd, support, hsc, unroll=unroll,
+        )
+    ls = chunk_levelset_scatter(
+        positions_ext, values_ext, plists, sub_ijk, sd, support, hsc
+    )
+    return ls, jnp.zeros((), jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sd", "support", "hsc", "K", "unroll", "kind"),
+    donate_argnames=("shells",),
+)
+def _scan_stream1(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
+    sub_ijk_ext, rows_mat, own_flat_ext, nb_idx_ext, nb_flat_ext, shells,
+    iso, sd: SubdomainGridParams, support: float, hsc: int, K: int,
+    unroll, kind: str,
+):
+    """Streaming pass 1 for one (K, C, kind) group: splat -> shell write ->
+    halo-from-table -> exact post-halo MC counts. The shell table is the
+    scan carry (donated, updated in place); blocks die inside the scan."""
+
+    def body(shells, rows):
+        ls, over = _splat_chunk(
+            positions_ext, values_ext, pid_s, cell_s, rank_s, starts,
+            counts, sub_ijk_ext, rows, sd, support, hsc, K, unroll, kind,
+        )
+        faces = _extract_faces_flat(ls)  # (6, C, P*P)
+        shells = shells.at[:, rows].set(faces)
+        ls = _halo_from_shells(
+            ls, own_flat_ext[rows], nb_idx_ext[:, rows],
+            nb_flat_ext[:, rows], shells,
+        )
+        nv, nt = _mc_counts_blocks(ls, iso)
+        return shells, (nv, nt, over)
+
+    shells, (nv, nt, overs) = jax.lax.scan(body, shells, rows_mat)
+    return shells, nv, nt, overs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sd", "support", "hsc", "K", "unroll", "kind", "pack_vc", "pack_tc"
+    ),
+)
+def _scan_stream2(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
+    sub_ijk_ext, rows_mat, own_flat_ext, nb_idx_ext, nb_flat_ext, shells,
+    iso, sd: SubdomainGridParams, support: float, hsc: int, K: int,
+    unroll, kind: str, pack_vc: int, pack_tc: int,
+):
+    """Streaming pass 2 for one group: re-splat -> halo from the complete
+    shell table -> batched MC packs (exact capacities from pass 1)."""
+
+    def body(carry, rows):
+        ls, _over = _splat_chunk(
+            positions_ext, values_ext, pid_s, cell_s, rank_s, starts,
+            counts, sub_ijk_ext, rows, sd, support, hsc, K, unroll, kind,
+        )
+        ls = _halo_from_shells(
+            ls, own_flat_ext[rows], nb_idx_ext[:, rows],
+            nb_flat_ext[:, rows], shells,
+        )
+        out = chunk_mc(
+            ls, sub_ijk_ext[rows], sd, iso,
+            pack_vertex_capacity=pack_vc, pack_triangle_capacity=pack_tc,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, rows_mat)
+    return outs
+
+
+def _chunk_plan(
+    order, occ_counts, threshold, chunk_size, raster_chunk_cap,
+    slot_budget, k_bucket, forced_rows=None,
+):
+    """Chunk a row ORDER into (rows (C,), valid, K, C, kind) plan entries.
+
+    Same bucketing rules as the non-streaming planner; chunks containing a
+    ``forced_rows`` member take the scatter kind (raster slot overflow
+    fallback). Pad slots hold -1 (callers map them to the empty row)."""
+    forced = forced_rows or set()
+    plan = []
+    B = len(order)
+    i = 0
+    while i < B:
+        j = min(i + chunk_size, B)
+        while j > i + 1:
+            K = k_bucket(int(occ_counts[order[j - 1]]))
+            if (j - i) * K <= slot_budget:
+                break
+            j -= 1
+        rows = order[i:j]
+        K = k_bucket(int(occ_counts[rows].max()))
+        if K > threshold and j - i > raster_chunk_cap:
+            j = i + raster_chunk_cap
+            rows = order[i:j]
+            K = k_bucket(int(occ_counts[rows].max()))
+        step = j - i
+        kind = "raster" if K > threshold else "scatter"
+        if forced and any(int(r) in forced for r in rows):
+            kind = "scatter"
+        cap = raster_chunk_cap if kind == "raster" else chunk_size
+        C = min(cap, max(1, slot_budget // K))
+        if C > step:
+            rows = np.concatenate([rows, np.full(C - step, -1, order.dtype)])
+        plan.append((rows, step, K, C, kind))
+        i = j
+    return plan
+
+
+def _stream_levelset_mc(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, occ_ids, occ_starts,
+    occ_counts, sub_ijk_all, sd: SubdomainGridParams, support, hsc, iso,
+    dtype, unroll, threshold, chunk_size, raster_chunk_cap, slot_budget,
+    k_bucket,
+):
+    """Steps 3-5 of the subdomain pipeline in streaming form.
+
+    Returns the stitched TriMesh3d. Peak HBM is the (6, B+1, P^2) shell
+    table plus one chunk group in flight — no (B, P^3) ls_all. Output is
+    bit-identical to the non-streaming path (see module comment above).
+    """
+    B = len(occ_ids)
+    P = sd.points_per_dim
+    iso_j = jnp.asarray(iso, dtype)
+
+    # extended tables: row B is the empty subdomain (no particles, absent
+    # neighbors) used for chunk padding — it splats zero and emits nothing
+    starts_ext = jnp.asarray(np.append(occ_starts, 0).astype(np.int32))
+    counts_ext = jnp.asarray(np.append(occ_counts, 0).astype(np.int32))
+    sub_ijk_ext = jnp.asarray(
+        np.concatenate([sub_ijk_all, np.zeros((1, 3), np.int32)])
+    )
+    nb_idx, nb_flat = _neighbor_tables(occ_ids, sub_ijk_all, sd)
+    own_ext = jnp.asarray(
+        np.append(occ_ids.astype(np.int32), _INT32_MAX)
+    )
+    nb_idx_ext = jnp.asarray(
+        np.concatenate([nb_idx, np.zeros((26, 1), np.int32)], axis=1)
+    )
+    nb_flat_ext = jnp.asarray(
+        np.concatenate(
+            [nb_flat, np.full((26, 1), _INT32_MAX, np.int32)], axis=1
+        )
+    )
+
+    def run_pass1(forced):
+        shells = jnp.zeros((6, B + 1, P * P), dtype)
+        # ascending-id order: occ_ids is ascending, so donors (smaller-id
+        # neighbors) are always written before a chunk's halo gather
+        plan = _chunk_plan(
+            np.arange(B, dtype=np.int64), occ_counts, threshold,
+            chunk_size, raster_chunk_cap, slot_budget, k_bucket,
+            forced_rows=forced,
+        )
+        nv_all = np.zeros(B, np.int64)
+        nt_all = np.zeros(B, np.int64)
+        over_entries = []  # (chunk rows, device over scalar)
+        outs = []
+        gi = 0
+        while gi < len(plan):
+            gj = gi
+            K, C, kind = plan[gi][2], plan[gi][3], plan[gi][4]
+            while gj < len(plan) and plan[gj][2:5] == (K, C, kind):
+                gj += 1
+            group = plan[gi:gj]
+            rows_mat = np.full((len(group), C), B, np.int32)
+            for c, ent in enumerate(group):
+                r = ent[0]
+                rows_mat[c, : len(r)] = np.where(r >= 0, r, B)
+            shells, nv, nt, overs = _scan_stream1(
+                positions_ext, values_ext, pid_s, cell_s, rank_s,
+                starts_ext, counts_ext, sub_ijk_ext,
+                jnp.asarray(rows_mat), own_ext, nb_idx_ext, nb_flat_ext,
+                shells, iso_j, sd=sd, support=float(support), hsc=hsc,
+                K=K, unroll=unroll, kind=kind,
+            )
+            outs.append((group, nv, nt, overs))
+            gi = gj
+        # one pull for all counts + overflow checks
+        pulled = jax.device_get([(o[1], o[2], o[3]) for o in outs])
+        bad_rows = set()
+        for (group, _, _, _), (nv, nt, overs) in zip(outs, pulled):
+            for c, ent in enumerate(group):
+                rows, step, _, _, kind = ent
+                rr = rows[:step]
+                nv_all[rr] = nv[c][:step]
+                nt_all[rr] = nt[c][:step]
+                if kind == "raster" and int(np.max(overs[c])) > 256:
+                    bad_rows.update(int(r) for r in rr)
+        return shells, nv_all, nt_all, bad_rows
+
+    forced: set = set()
+    shells, nv_all, nt_all, bad = run_pass1(forced)
+    if bad:
+        # raster slot overflow corrupts the chunk's blocks AND any later
+        # chunk that consumed its shell: redo the whole pass with the
+        # offending rows forced to the exact scatter kind (scatter chunks
+        # cannot overflow, so one retry suffices)
+        forced = bad
+        shells, nv_all, nt_all, _ = run_pass1(forced)
+
+    active = np.nonzero(nv_all > 0)[0]
+    if len(active) == 0:
+        return TriMesh3d(
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        )
+
+    # pass 2 over active rows, occupancy-ordered (donor order is irrelevant
+    # now — the shell table is complete)
+    order2 = active[np.argsort(occ_counts[active], kind="stable")]
+    plan2 = _chunk_plan(
+        order2, occ_counts, threshold, chunk_size, raster_chunk_cap,
+        slot_budget, k_bucket, forced_rows=forced,
+    )
+    chunk_vsums = [int(nv_all[ent[0][: ent[1]]].sum()) for ent in plan2]
+    chunk_tsums = [int(nt_all[ent[0][: ent[1]]].sum()) for ent in plan2]
+    pack_vc = _pow2_at_least(max(chunk_vsums))
+    pack_tc = _pow2_at_least(max(chunk_tsums))
+
+    stacked = None
+    t_counts_parts = []
+    gi = 0
+    parts = []
+    while gi < len(plan2):
+        gj = gi
+        K, C, kind = plan2[gi][2], plan2[gi][3], plan2[gi][4]
+        while gj < len(plan2) and plan2[gj][2:5] == (K, C, kind):
+            gj += 1
+        group = plan2[gi:gj]
+        rows_mat = np.full((len(group), C), B, np.int32)
+        for c, ent in enumerate(group):
+            r = ent[0]
+            rows_mat[c, : len(r)] = np.where(r >= 0, r, B)
+        outs = _scan_stream2(
+            positions_ext, values_ext, pid_s, cell_s, rank_s,
+            starts_ext, counts_ext, sub_ijk_ext, jnp.asarray(rows_mat),
+            own_ext, nb_idx_ext, nb_flat_ext, shells, iso_j,
+            sd=sd, support=float(support), hsc=hsc, K=K, unroll=unroll,
+            kind=kind, pack_vc=pack_vc, pack_tc=pack_tc,
+        )
+        parts.append(outs)
+        gi = gj
+
+    stacked = [jnp.concatenate([p[k] for p in parts], axis=0) for k in range(8)]
+    t_counts = jnp.concatenate([p[9] for p in parts], axis=0)
+    v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
+    t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
+    s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
+    total_v, total_t = (int(x) for x in jax.device_get((s[6], s[7])))
+    tv = min(v_out_cap, _bucket16(total_v))
+    tt = min(t_out_cap, _bucket16(total_t))
+    pv, pt = _pack_mesh_sub(*s[:6], nv=tv, nt=tt)
+    pv, pt = jax.device_get((pv, pt))
+    return TriMesh3d(
+        vertices=np.ascontiguousarray(pv.T[:total_v]),
+        triangles=np.ascontiguousarray(pt.T[:total_t]).astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
 # batched marching cubes + global edge keys
 # ---------------------------------------------------------------------------
 
@@ -854,6 +1231,25 @@ def reconstruct_surface_subdomain_grid(
 
     # 3. per-subdomain level sets, chunked by capacity bucket
     P = sd.points_per_dim
+
+    # Streaming gate: when the resident ls_all would not fit comfortably in
+    # HBM (the reference's 82k-subdomain canyon scale), switch to the
+    # boundary-shell streaming pipeline (bit-identical output; ~2x splat
+    # cost). Single-device only — the sharded path divides ls_all by D and
+    # has its own scale headroom.
+    import os
+
+    stream_env = os.environ.get("SPLASHSURF_TPU_STREAM", "auto")
+    ls_bytes = (B + 1) * (P ** 3) * np.dtype(dtype).itemsize
+    stream_budget = int(
+        os.environ.get("SPLASHSURF_TPU_STREAM_BUDGET_BYTES", 3_000_000_000)
+    )
+    use_stream = (
+        dev_mesh is None
+        and stream_env != "0"
+        and (stream_env == "1" or ls_bytes > stream_budget)
+    )
+
     order = np.argsort(occ_counts, kind="stable")  # group similar sizes
     ls_parts: List[jax.Array] = []
     part_rows: List[np.ndarray] = []
@@ -892,6 +1288,32 @@ def reconstruct_surface_subdomain_grid(
         while k < n:
             k *= 8
         return k
+
+    if use_stream:
+        prof_splat.__exit__(None, None, None)
+        with profile("streaming levelset+mc"):
+            mesh = _stream_levelset_mc(
+                positions_ext, values_ext, jnp.asarray(pid_s),
+                jnp.asarray(cell_s), jnp.asarray(rank_s), occ_ids,
+                occ_starts, occ_counts, sub_ijk_all, sd, support, hsc,
+                iso, dtype, unroll, threshold, chunk_size,
+                raster_chunk_cap, slot_budget, _k_bucket,
+            )
+        particle_neighbors = None
+        if parameters.global_neighborhood_list:
+            particle_neighbors = (
+                neighbors.neighborhood_search_spatial_hashing_parallel(
+                    positions, support
+                )
+            )
+        return SurfaceReconstruction(
+            grid=sd.global_grid,
+            subdomain_grid=sd.subdomain_grid,
+            mesh=mesh,
+            particle_densities=rho,
+            particle_neighbors=particle_neighbors,
+            particle_inside_aabb=particle_inside_aabb,
+        )
 
     # --- chunk planning (host only, no dispatches): same boundaries as the
     # execution loop this replaces; entries of equal (K, C, kind) form

@@ -1,0 +1,147 @@
+"""Streaming subdomain mode (boundary-shell table, no resident ls_all).
+
+VERDICT r3 item 3: the non-streaming path concatenates every occupied
+subdomain's (P,P,P) level set into HBM at once, capping a single chip far
+below the reference's 82k-subdomain canyon scale. The streaming mode keeps
+only a (6, B+1, P^2) shell table; these tests pin its contract: the output
+mesh is BIT-identical to the non-streaming path (same vertices, same
+triangle order) on every routing corner (scatter/raster kinds, mixed
+occupancy buckets, overflow retry, count padding).
+"""
+
+import numpy as np
+import pytest
+
+import splashsurf_tpu as st
+from splashsurf_tpu.mesh import check_mesh_consistency
+from splashsurf_tpu.params import SpatialDecomposition
+from splashsurf_tpu.reconstruction import grid_for_reconstruction
+from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
+
+R = 0.025
+
+
+def _params():
+    return st.Parameters.new_relative(
+        R, 4.0, 1.5, spatial_decomposition=SpatialDecomposition.UNIFORM_GRID
+    )
+
+
+def _block(nx=24, ny=10, nz=10, seed=0, jitter=0.2):
+    rng = np.random.default_rng(seed)
+    pts = (
+        np.mgrid[0:nx, 0:ny, 0:nz].reshape(3, -1).T * 2 * R
+        + rng.uniform(-jitter, jitter, (nx * ny * nz, 3)) * 2 * R
+    ).astype(np.float32)
+    return pts
+
+
+def _run_both(pts, monkeypatch, n_valid=None, raster_threshold=None):
+    params = _params()
+    grid = grid_for_reconstruction(
+        pts, R, params.compact_support_radius, params.cube_size
+    )
+    monkeypatch.setenv("SPLASHSURF_TPU_STREAM", "0")
+    rec0 = reconstruct_surface_subdomain_grid(
+        pts, params, grid, sharded=False, n_valid=n_valid,
+        raster_threshold=raster_threshold,
+    )
+    monkeypatch.setenv("SPLASHSURF_TPU_STREAM", "1")
+    rec1 = reconstruct_surface_subdomain_grid(
+        pts, params, grid, sharded=False, n_valid=n_valid,
+        raster_threshold=raster_threshold,
+    )
+    return rec0.mesh, rec1.mesh
+
+
+def _assert_bitwise(m0, m1):
+    assert m1.num_triangles > 0
+    assert np.array_equal(np.asarray(m0.vertices), np.asarray(m1.vertices))
+    assert np.array_equal(np.asarray(m0.triangles), np.asarray(m1.triangles))
+    assert check_mesh_consistency(m1.vertices, m1.triangles) is None
+
+
+class TestStreamingBitIdentity:
+    def test_scatter_kind(self, monkeypatch):
+        m0, m1 = _run_both(_block(), monkeypatch)
+        _assert_bitwise(m0, m1)
+
+    def test_raster_kind(self, monkeypatch):
+        # raster_threshold=0 forces the raster splat kind off-TPU
+        m0, m1 = _run_both(_block(seed=2), monkeypatch, raster_threshold=0)
+        _assert_bitwise(m0, m1)
+
+    def test_mixed_occupancy_buckets(self, monkeypatch):
+        """A dense clump alongside a sparse sheet produces multiple K
+        buckets and heterogeneous id-ordered groups in pass 1."""
+        pts = _block(32, 6, 6, seed=3)
+        clump = _block(4, 4, 4, seed=4, jitter=0.45) * 0.5 + np.float32(
+            [32 * 2 * R * 0.3, 0.0, 0.0]
+        )
+        pts = np.concatenate([pts, clump]).astype(np.float32)
+        m0, m1 = _run_both(pts, monkeypatch)
+        _assert_bitwise(m0, m1)
+
+    def test_overflow_forces_scatter_retry(self, monkeypatch):
+        """>256 particles in one MC cell exceed the raster overflow budget:
+        pass 1 must restart with the offending chunks on the exact scatter
+        kind. The redo runs at a different batch shape than the
+        non-streaming patch path, and XLA's f32 scatter-add reassociates
+        across shapes — so this one corner is ulp-close, not bitwise (each
+        run is still self-consistent/watertight via the halo overwrite)."""
+        pts = _block(12, 6, 6, seed=5)
+        rng = np.random.default_rng(6)
+        clump = (
+            pts[100][None, :]
+            + rng.uniform(-0.3, 0.3, (400, 3)).astype(np.float32) * R
+        ).astype(np.float32)
+        pts = np.concatenate([pts, clump]).astype(np.float32)
+        m0, m1 = _run_both(pts, monkeypatch, raster_threshold=0)
+        assert m1.num_triangles > 0
+        assert m0.num_vertices == m1.num_vertices
+        np.testing.assert_allclose(
+            np.asarray(m0.vertices), np.asarray(m1.vertices),
+            rtol=0, atol=1e-6,
+        )
+        assert np.array_equal(
+            np.asarray(m0.triangles), np.asarray(m1.triangles)
+        )
+        assert check_mesh_consistency(m1.vertices, m1.triangles) is None
+
+    def test_count_padding_dummies(self, monkeypatch):
+        pts = _block(seed=7)
+        params = _params()
+        grid = grid_for_reconstruction(
+            pts, R, params.compact_support_radius, params.cube_size
+        )
+        support = params.compact_support_radius
+        side = 6
+        ii = np.arange(64)
+        cube = np.stack(
+            [ii // (side * side), (ii // side) % side, ii % side], axis=1
+        ).astype(np.float32)
+        start = np.asarray(grid.min, np.float32).copy()
+        start[0] -= 4.0 * support + side * 0.51 * support
+        ext = np.concatenate([pts, start + cube * 0.51 * support]).astype(
+            np.float32
+        )
+        m0, m1 = _run_both(ext, monkeypatch, n_valid=len(pts))
+        _assert_bitwise(m0, m1)
+
+    def test_auto_gate_by_budget(self, monkeypatch):
+        """A tiny stream budget flips the auto gate to streaming."""
+        pts = _block(seed=8)
+        params = _params()
+        grid = grid_for_reconstruction(
+            pts, R, params.compact_support_radius, params.cube_size
+        )
+        monkeypatch.setenv("SPLASHSURF_TPU_STREAM", "auto")
+        monkeypatch.setenv("SPLASHSURF_TPU_STREAM_BUDGET_BYTES", "1000")
+        rec1 = reconstruct_surface_subdomain_grid(
+            pts, params, grid, sharded=False
+        )
+        monkeypatch.setenv("SPLASHSURF_TPU_STREAM", "0")
+        rec0 = reconstruct_surface_subdomain_grid(
+            pts, params, grid, sharded=False
+        )
+        _assert_bitwise(rec0.mesh, rec1.mesh)
