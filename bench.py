@@ -252,13 +252,16 @@ def main():
     counter = _CacheCounter()
     clog = logging.getLogger("jax._src.compiler")
     old_level = clog.level
+    old_prop = clog.propagate
     clog.addHandler(counter)
     clog.setLevel(logging.DEBUG)
+    clog.propagate = False  # count, don't spam stderr with DEBUG records
     t0 = time.perf_counter()
     rec = st.reconstruct_surface(jax.device_put(pts), params)
     warm = time.perf_counter() - t0
     clog.removeHandler(counter)
     clog.setLevel(old_level)
+    clog.propagate = old_prop
     print(
         f"# warmup (incl. compile): {warm:.2f}s; mesh: "
         f"{rec.mesh.num_vertices} verts / {rec.mesh.num_triangles} tris",

@@ -103,9 +103,9 @@ def _warm_frame(
         ls, grid, jnp.asarray(iso, ls.dtype), vcap, tcap, encode=True,
         quant_t=quant_t,
     )
-    t, points, words, total_v, total_t, total_c = out
-    packed = gs._pack_cellwise(t, points, words, nv=nv_b, nc=nc_b)
-    return packed + (total_v, total_t, total_c, r[8], dcheck, rho)
+    t, packed_s, bincl, total_v, total_t, total_c = out
+    sl = gs._pack_cellwise(t, packed_s, nv=nv_b, nc=nc_b)
+    return sl + (bincl, total_v, total_t, total_c, r[8], dcheck, rho)
 
 
 def _try_warm_frame(
@@ -170,12 +170,12 @@ def _try_warm_frame(
             slots=2, backend=backend, ofc=ofc, vcap=vcap, tcap=tcap,
             nv_b=nv_b, nc_b=nc_b,
         )
-    t, points, words, tv_d, tt_d, tc_d, nov_d, dcheck, rho = out
+    t, packed_s, bincl, tv_d, tt_d, tc_d, nov_d, dcheck, rho = out
     with profile("pull mesh"):
         extra = (grid_check,) if grid_check is not None else ()
         pulled = jax.device_get(
             (tv_d, tt_d, tc_d, nov_d, dcheck) + extra
-            + (t, points, words)
+            + (t, packed_s, bincl)
         )
     total_v, total_t, total_c, total_over = (int(x) for x in pulled[:4])
     density_ok = bool(pulled[4])
@@ -214,16 +214,17 @@ def _try_warm_frame(
     with profile("decode mesh"):
         from splashsurf_tpu import native
 
-        enc = (gs._dequant_t(enc[0]),) + tuple(enc[1:])
+        t_ = gs._dequant_t(enc[0])
+        pc_, pcs_ = gs._unpack_compact(enc[1], enc[2], total_c)
         dec = None
-        if enc[0].dtype == np.float32:
+        if t_.dtype == np.float32:
             dec = native.mc_decode(
-                enc[0], enc[1], enc[2], total_v, total_t, total_c,
+                t_, pc_, pcs_, total_v, total_t, total_c,
                 grid.n_points[1], grid.n_points[2], grid.min, grid.cell_size,
             )
         if dec is None:
             dec = gs._decode_cellwise_mesh(
-                enc[0], enc[1], enc[2], total_v, total_t, total_c, grid
+                t_, pc_, pcs_, total_v, total_t, total_c, grid
             )
         verts, tris = dec
     return verts, tris, rho

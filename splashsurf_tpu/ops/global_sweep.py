@@ -30,7 +30,7 @@ import numpy as np
 
 from splashsurf_tpu import kernels
 from splashsurf_tpu.density import gather_cell_offsets, supported_point_offsets
-from splashsurf_tpu.ops.prefix import cumsum_small_i32
+from splashsurf_tpu.ops.prefix import cumsum_small_i32, cumsum_small_i32_blocks
 from splashsurf_tpu.mc import lut
 from splashsurf_tpu.mc import dense as mc_dense
 from splashsurf_tpu.uniform_grid import UniformGrid
@@ -528,19 +528,32 @@ def mc_global_cells(
         word = word | (pad_to_points(em.astype(jnp.int32)) << bit)
     word_flat = word.reshape(-1)
     active = word_flat != 0
-    acum = cumsum_small_i32(active)
+    # Packed single-scatter compaction: scattering (point id, word) as two
+    # n_pts-update-row scatters measured ~34 ms APIECE at a 6M grid — half
+    # the MC wall. Pack the point's offset within its 512-wide cumsum block
+    # (9 bits) above the 11-bit word and scatter ONCE; point ids are then
+    # block*512 + local, with each compact slot's block recovered from a
+    # tiny (n_blocks-row) block-start scatter + max-scan.
+    BLOCK = 512
+    acum, boffs, bsum = cumsum_small_i32_blocks(active, BLOCK)
     total_c = acum[-1]
     ucdest = jnp.where(active, acum - 1, cap)
-    points_c = (
+    local = jnp.arange(n_pts, dtype=jnp.int32) & (BLOCK - 1)
+    packed = (
         jnp.zeros((cap,), jnp.int32)
         .at[ucdest]
-        .set(jnp.arange(n_pts, dtype=jnp.int32), mode="drop", unique_indices=True)
+        .set((local << 11) | word_flat, mode="drop", unique_indices=True)
     )
-    words_c = (
+    nb = boffs.shape[0]
+    bdest = jnp.where(bsum > 0, boffs, cap)
+    blk_of_slot = (
         jnp.zeros((cap,), jnp.int32)
-        .at[ucdest]
-        .set(word_flat, mode="drop", unique_indices=True)
+        .at[bdest]
+        .set(jnp.arange(nb, dtype=jnp.int32), mode="drop", unique_indices=True)
     )
+    blk_of_slot = jax.lax.associative_scan(jnp.maximum, blk_of_slot)
+    words_c = packed & 0x7FF
+    points_c = blk_of_slot * BLOCK + (packed >> 11)
 
     # --- vertex stream: one vertex per active origin edge, axis-major -----
     ex = (words_c >> 8) & 1
@@ -575,10 +588,13 @@ def mc_global_cells(
             # domain) — orders below the 1e-4 accuracy budget. f32-only
             # (f64 runs keep full-precision t).
             t = jnp.round(t * 65535.0).astype(jnp.uint16)
+        # Ship the PACKED stream (4 B/slot, local<<11|word) + the tiny
+        # inclusive block-sum table instead of (points i32 + words u16) —
+        # 2 B/slot fewer link bytes; the host unpacks with one np.repeat.
         return (
             t,
-            points_c,
-            words_c.astype(jnp.uint16),
+            packed,
+            boffs + bsum,  # inclusive per-block compact counts (nb,)
             total_v,
             jnp.sum(counts_enc),
             total_c,
@@ -710,9 +726,23 @@ def _pack_encoded(ae, t, cells, cases, nv: int, nc: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nv", "nc"))
-def _pack_cellwise(t, cells, cases, nv: int, nc: int):
-    """Slice the cellwise encoded streams (t, cells, cases) to buckets."""
-    return t[:nv], cells[:nc], cases[:nc]
+def _pack_cellwise(t, packed, nv: int, nc: int):
+    """Slice the cellwise encoded streams (t, packed) to transfer buckets."""
+    return t[:nv], packed[:nc]
+
+
+def _unpack_compact(packed, bincl, total_c):
+    """Host inverse of the packed compaction: (points, words) from the
+    packed stream + the inclusive per-block compact counts."""
+    packed = np.asarray(packed[:total_c]).astype(np.int64)
+    bincl = np.asarray(bincl).astype(np.int64)
+    counts = np.diff(bincl, prepend=0)
+    blk = np.repeat(np.arange(len(bincl), dtype=np.int64), counts)
+    if len(blk) != total_c:
+        raise RuntimeError("packed-compaction decode inconsistency")
+    points = (blk * 512 + (packed >> 11)).astype(np.int32)
+    words = (packed & 0x7FF).astype(np.uint16)
+    return points, words
 
 
 def _dequant_t(t):
@@ -940,7 +970,7 @@ def reconstruct_global_dense(
 
 
 def _defer_encoded_pull(
-    t_s, cells_s, cases_s, tv_d, tt_d, tc_d, n_over, deferred_checks,
+    t_s, packed_s, bincl_d, tv_d, tt_d, tc_d, n_over, deferred_checks,
     check_labels, plan, caps, key, okey, overflow_capacity, grid,
 ):
     """Build the PendingPull for a fully-warm encoded-transfer frame.
@@ -952,11 +982,11 @@ def _defer_encoded_pull(
     """
     nv_b, nc_b = plan
     vcap, tcap = caps
-    pt_d, pc_d, pcs_d = _pack_cellwise(t_s, cells_s, cases_s, nv=nv_b, nc=nc_b)
+    pt_d, ppk_d = _pack_cellwise(t_s, packed_s, nv=nv_b, nc=nc_b)
     arrs = (
         (tv_d, tt_d, tc_d, n_over)
         + tuple(deferred_checks)
-        + (pt_d, pc_d, pcs_d)
+        + (pt_d, ppk_d, bincl_d)
     )
 
     def resolve():
@@ -966,7 +996,7 @@ def _defer_encoded_pull(
         pulled = jax.device_get(arrs)
         total_v, total_t, total_c, total_over = (int(x) for x in pulled[:4])
         flags = [bool(c) for c in pulled[4:-3]]
-        pt_, pc_, pcs_ = pulled[-3:]
+        pt_, ppk_, bincl_ = pulled[-3:]
         if not all(flags):
             failed = {
                 check_labels[i] for i, ok in enumerate(flags) if not ok
@@ -990,16 +1020,17 @@ def _defer_encoded_pull(
             return ("redo",)
         nv2 = min(vcap, _bucket16(total_v))
         nc2 = min(tcap, _bucket16(total_c))
-        if total_v > pt_.shape[0] or total_c > pc_.shape[0]:
+        if total_v > pt_.shape[0] or total_c > ppk_.shape[0]:
             # transfer-bucket miss: repack exactly (one extra round trip)
-            pt_, pc_, pcs_ = jax.device_get(
-                _pack_cellwise(t_s, cells_s, cases_s, nv=nv2, nc=nc2)
+            pt_, ppk_ = jax.device_get(
+                _pack_cellwise(t_s, packed_s, nv=nv2, nc=nc2)
             )
         _PULL_PLAN_ENC[key] = (nv2, nc2)
         _note_overflow_plan(okey, total_over)
         from splashsurf_tpu import native
 
         pt_ = _dequant_t(pt_)
+        pc_, pcs_ = _unpack_compact(ppk_, bincl_, total_c)
         dec = None
         if pt_.dtype == np.float32:
             dec = native.mc_decode(
@@ -1088,14 +1119,14 @@ def _finish_global_dense(
                         encode=True, quant_t=quant_t,
                     )
                 )
-            t_s, cells_s, cases_s, tv_d, tt_d, tc_d = enc
+            t_s, packed_s, bincl_d, tv_d, tt_d, tc_d = enc
             if defer_pull:
                 plan = _PULL_PLAN_ENC.get(key)
                 if plan is None or plan[0] > vcap or plan[1] > tcap:
                     defer_pull = False  # cold frame: pull synchronously
                 else:
                     return _defer_encoded_pull(
-                        t_s, cells_s, cases_s, tv_d, tt_d, tc_d, n_over,
+                        t_s, packed_s, bincl_d, tv_d, tt_d, tc_d, n_over,
                         deferred_checks, check_labels, plan, caps, key, okey,
                         overflow_capacity, grid,
                     )
@@ -1103,18 +1134,18 @@ def _finish_global_dense(
                 plan = _PULL_PLAN_ENC.get(key)
                 if plan is not None and plan[0] <= vcap and plan[1] <= tcap:
                     nv_b, nc_b = plan
-                    pt_, pc_, pcs_ = _pack_cellwise(
-                        t_s, cells_s, cases_s, nv=nv_b, nc=nc_b
+                    pt_, ppk_ = _pack_cellwise(
+                        t_s, packed_s, nv=nv_b, nc=nc_b
                     )
                     pulled = jax.device_get(
                         (tv_d, tt_d, tc_d, n_over) + tuple(deferred_checks)
-                        + (pt_, pc_, pcs_)
+                        + (pt_, ppk_, bincl_d)
                     )
                     total_v, total_t, total_c, total_over = (
                         int(x) for x in pulled[:4]
                     )
                     flags = [bool(c) for c in pulled[4:-3]]
-                    pt_, pc_, pcs_ = pulled[-3:]
+                    pt_, ppk_, bincl_ = pulled[-3:]
                 else:
                     pulled = jax.device_get(
                         (tv_d, tt_d, tc_d, n_over) + tuple(deferred_checks)
@@ -1123,7 +1154,7 @@ def _finish_global_dense(
                         int(x) for x in pulled[:4]
                     )
                     flags = [bool(c) for c in pulled[4:]]
-                    pt_ = pc_ = pcs_ = None
+                    pt_ = ppk_ = bincl_ = None
                 if not all(flags):
                     raise SpeculationMiss(flags)
                 if total_over > overflow_capacity:
@@ -1139,15 +1170,17 @@ def _finish_global_dense(
                     continue
                 nv_b = min(vcap, _bucket16(total_v))
                 nc_b = min(tcap, _bucket16(total_c))
-                if pt_ is None or total_v > pt_.shape[0] or total_c > pc_.shape[0]:
-                    pt_, pc_, pcs_ = jax.device_get(
-                        _pack_cellwise(t_s, cells_s, cases_s, nv=nv_b, nc=nc_b)
+                if pt_ is None or total_v > pt_.shape[0] or total_c > ppk_.shape[0]:
+                    pt_, ppk_, bincl_ = jax.device_get(
+                        _pack_cellwise(t_s, packed_s, nv=nv_b, nc=nc_b)
+                        + (bincl_d,)
                     )
                 _PULL_PLAN_ENC[key] = (nv_b, nc_b)
             with profile("decode mesh"):
                 from splashsurf_tpu import native
 
                 pt_ = _dequant_t(pt_)
+                pc_, pcs_ = _unpack_compact(ppk_, bincl_, total_c)
                 dec = None
                 if pt_.dtype == np.float32:
                     dec = native.mc_decode(

@@ -69,3 +69,39 @@ def cumsum_small_i32(x, block: int = 512):
     offs = jnp.cumsum(bsum) - bsum  # exclusive carry, exact int32
     out = within.astype(jnp.int32) + offs[:, None]
     return out.reshape(-1)[:n]
+
+
+def cumsum_small_i32_blocks(x, block: int = 512):
+    """Like :func:`cumsum_small_i32` but also returns the per-block prefix
+    structure: ``(incl, offs, bsum)`` where ``offs`` is each block's
+    EXCLUSIVE prefix (the compact rank of its first active element) and
+    ``bsum`` its total, both shape (ceil(n/block),).
+
+    Consumers use the block tables to recover source positions from compact
+    ranks (packed single-scatter compaction in marching cubes) without a
+    second wide scatter. Same exactness contract as cumsum_small_i32.
+    """
+    import os
+
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.int32)
+    n = x.shape[0]
+    nb = -(-n // block)
+    if n < 4 * block or os.environ.get("SPLASHSURF_TPU_MXU_CUMSUM", "1") != "1":
+        incl = jnp.cumsum(x)
+        ends = jnp.minimum(
+            (jnp.arange(nb, dtype=jnp.int32) + 1) * block - 1, n - 1
+        )
+        bincl = incl[ends]
+        bsum = jnp.diff(bincl, prepend=jnp.zeros((1,), bincl.dtype))
+        return incl, bincl - bsum, bsum
+    xp = jnp.pad(x, (0, nb * block - n)).reshape(nb, block)
+    within = jnp.dot(
+        xp.astype(jnp.bfloat16), jnp.asarray(_triu_ones_np(block), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    bsum = within[:, -1].astype(jnp.int32)
+    offs = jnp.cumsum(bsum) - bsum
+    out = within.astype(jnp.int32) + offs[:, None]
+    return out.reshape(-1)[:n], offs, bsum
