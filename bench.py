@@ -36,15 +36,17 @@ def make_dam_break(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
     return pts
 
 
-def make_canyon(n_target: int, radius: float, seed: int = 0) -> np.ndarray:
+def make_canyon(
+    n_target: int, radius: float, seed: int = 0, layers: int = 8
+) -> np.ndarray:
     """Sparse benchmark fluid: a thin terrain-following sheet over a large
     horizontal extent (the shape of the reference's canyon headline run,
     README.md:169-199 — 13.4M particles over a 21.5B-cell grid). The fluid
     AABB grid far exceeds the dense-path gate, so reconstruction routes
-    through the subdomain pipeline."""
+    through the subdomain pipeline. Fewer ``layers`` spread the same
+    particle count over more area (more occupied subdomains)."""
     rng = np.random.default_rng(seed)
     spacing = 2.0 * radius
-    layers = 8  # sheet thickness in particles
     base = (n_target / (4 * layers)) ** 0.5
     nx, nz = int(4 * base), int(base)
     x = (np.arange(nx) + 0.5) * spacing
@@ -175,6 +177,15 @@ def main():
         help="canyon-like sparse sheet over a huge grid: routes through "
         "the subdomain pipeline (the reference headline configuration)",
     )
+    ap.add_argument(
+        "--layers",
+        type=int,
+        default=8,
+        help="sheet thickness of the --sparse canyon in particle layers; "
+        "fewer layers -> more occupied subdomains at the same N "
+        "(--layers 2 at 13.4M exercises the >=20k-subdomain streaming "
+        "regime of the reference headline scale)",
+    )
     args = ap.parse_args()
     if args.stage:
         from splashsurf_tpu.workspace import enable_persistent_cache
@@ -198,7 +209,7 @@ def main():
     if args.sparse:
         if args.n == 2_000_000 and not args.smoke:
             args.n = 8_000_000  # default sparse scale
-        pts = make_canyon(args.n, radius)
+        pts = make_canyon(args.n, radius, layers=args.layers)
     else:
         pts = make_dam_break(args.n, radius)
     n = len(pts)
@@ -276,6 +287,18 @@ def main():
         ),
         file=sys.stderr,
     )
+    if args.sparse:
+        from splashsurf_tpu import subdomains as sub_mod
+
+        line = f"# subdomain run: {dict(sub_mod.LAST_RUN)}"
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            peak = ms.get("peak_bytes_in_use")
+            if peak:
+                line += f"; peak HBM {peak / 1e9:.2f} GB"
+        except Exception:
+            pass
+        print(line, file=sys.stderr)
 
     if args.frames:
         # sequence mode: steady-state frames/s over a longer run (frame t+1

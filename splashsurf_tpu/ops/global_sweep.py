@@ -116,16 +116,19 @@ def rasterize_global(
         # (ncells+1) int32 table (~192 MB/round at the 48M-cell dense
         # gate) — fine at slots=2, a silent HBM-traffic cliff if slots is
         # ever raised; prefer the sorted formulation past slots ~4.
-        sentinel = jnp.int32(n)
         rank = jnp.full((n,), slots, jnp.int32)
         remaining = valid
+        key = jnp.int32(n) - idx  # ascending idx -> descending positive key
         for r in range(slots):
+            # zeros-init + scatter-MAX of (n - idx): identical winners to a
+            # sentinel-init scatter-min of idx (keys are unique), but the
+            # table init is a plain zero fill
             tbl = (
-                jnp.full((ncells + 1,), sentinel)
+                jnp.zeros((ncells + 1,), jnp.int32)
                 .at[jnp.where(remaining, cflat, ncells)]
-                .min(idx)
+                .max(key)
             )
-            won = remaining & (tbl[cflat] == idx)
+            won = remaining & (tbl[cflat] == key)
             rank = jnp.where(won, r, rank)
             remaining = remaining & ~won
     else:
@@ -530,11 +533,12 @@ def mc_global_cells(
     active = word_flat != 0
     # Packed single-scatter compaction: scattering (point id, word) as two
     # n_pts-update-row scatters measured ~34 ms APIECE at a 6M grid — half
-    # the MC wall. Pack the point's offset within its 512-wide cumsum block
-    # (9 bits) above the 11-bit word and scatter ONCE; point ids are then
-    # block*512 + local, with each compact slot's block recovered from a
-    # tiny (n_blocks-row) block-start scatter + max-scan.
-    BLOCK = 512
+    # the MC wall. Pack the point's offset within its 32-wide cumsum block
+    # (5 bits) above the 11-bit word — EXACTLY 16 bits, so the encoded pull
+    # ships u16 — and scatter ONCE; point ids are then block*32 + local,
+    # with each compact slot's block recovered from a tiny (n_blocks-row)
+    # block-start scatter + max-scan (and one np.repeat on the host).
+    BLOCK = 32
     acum, boffs, bsum = cumsum_small_i32_blocks(active, BLOCK)
     total_c = acum[-1]
     ucdest = jnp.where(active, acum - 1, cap)
@@ -588,13 +592,13 @@ def mc_global_cells(
             # domain) — orders below the 1e-4 accuracy budget. f32-only
             # (f64 runs keep full-precision t).
             t = jnp.round(t * 65535.0).astype(jnp.uint16)
-        # Ship the PACKED stream (4 B/slot, local<<11|word) + the tiny
-        # inclusive block-sum table instead of (points i32 + words u16) —
-        # 2 B/slot fewer link bytes; the host unpacks with one np.repeat.
+        # Ship the PACKED stream (u16/slot, local<<11|word) + u8 per-block
+        # active counts instead of (points i32 + words u16) — 4 B/slot
+        # fewer link bytes; the host unpacks with one np.repeat.
         return (
             t,
-            packed,
-            boffs + bsum,  # inclusive per-block compact counts (nb,)
+            packed.astype(jnp.uint16),
+            bsum.astype(jnp.uint8),  # per-block active counts (nb,), <= 32
             total_v,
             jnp.sum(counts_enc),
             total_c,
@@ -731,16 +735,15 @@ def _pack_cellwise(t, packed, nv: int, nc: int):
     return t[:nv], packed[:nc]
 
 
-def _unpack_compact(packed, bincl, total_c):
-    """Host inverse of the packed compaction: (points, words) from the
-    packed stream + the inclusive per-block compact counts."""
+def _unpack_compact(packed, bcounts, total_c):
+    """Host inverse of the packed compaction: (points, words) from the u16
+    packed stream + the u8 per-block active counts (block width 32)."""
     packed = np.asarray(packed[:total_c]).astype(np.int64)
-    bincl = np.asarray(bincl).astype(np.int64)
-    counts = np.diff(bincl, prepend=0)
-    blk = np.repeat(np.arange(len(bincl), dtype=np.int64), counts)
+    counts = np.asarray(bcounts).astype(np.int64)
+    blk = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     if len(blk) != total_c:
         raise RuntimeError("packed-compaction decode inconsistency")
-    points = (blk * 512 + (packed >> 11)).astype(np.int32)
+    points = (blk * 32 + (packed >> 11)).astype(np.int32)
     words = (packed & 0x7FF).astype(np.uint16)
     return points, words
 

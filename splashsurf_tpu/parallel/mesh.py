@@ -216,6 +216,42 @@ def sharded_scan_splat(
 
 
 @functools.lru_cache(maxsize=32)
+def sharded_scan_splat_pairs(
+    mesh: Mesh, sd: SubdomainGridParams, hsc: int, K: int, unroll, kind: str,
+    support: float,
+):
+    """Sharded chunk-group splat over DEVICE-LOCAL pair tables.
+
+    The sharded-decompose integration: pair columns, segment tables and
+    sub_ijk arrive sharded P("sub") (each device owns its x-slab's pairs,
+    parallel/decompose.py), and rows_mat addresses LOCAL occupied-subdomain
+    rows — so the splat gathers never leave the shard. Scan body shared
+    with the single-device executor (bit-identity, see sharded_scan_splat).
+    Positions/values stay replicated (the documented remaining O(N) term).
+    """
+    from jax import shard_map
+    from splashsurf_tpu.subdomains import _scan_splat
+
+    def local(pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
+              rows_mat):
+        return _scan_splat(
+            pe, ve, pid_s, cell_s, rank_s, starts, counts, sub_ijk_d,
+            rows_mat, sd=sd, support=float(support), hsc=hsc, K=K,
+            unroll=unroll, kind=kind,
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(), P()) + (P("sub"),) * 7,
+            out_specs=(P("sub"), P("sub")),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
 def sharded_scan_mc(mesh: Mesh, sd: SubdomainGridParams, pack_vc: int, pack_tc: int):
     """Sharded chunked marching cubes: shard_map over the chunk axis with
     the single-device scan body (subdomains._scan_chunk_mc). The level-set

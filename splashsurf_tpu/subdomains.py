@@ -55,6 +55,12 @@ def enable_profile_sync(on: bool = True):
     _PROFILE_SYNC = on
 
 
+# Observability: facts about the most recent subdomain-grid run (occupied
+# subdomain count, streaming-gate decision) — read by bench.py --sparse and
+# scale tests; never consumed by the pipeline itself.
+LAST_RUN: dict = {}
+
+
 @dataclasses.dataclass(frozen=True)
 class SubdomainGridParams:
     """Derived decomposition parameters (dense_subdomains.rs:89-244 analog)."""
@@ -1202,27 +1208,69 @@ def reconstruct_surface_subdomain_grid(
     # 2. decomposition into (subdomain, particle) pairs. Ghost duplication
     # is typically ~30-45% (README.md:189 reports 42% for the canyon), so
     # start at 1.5N; the retry loop grows the capacity if a frame exceeds it.
-    pair_capacity = _pow2_at_least(int(n * 1.5) + 64)
+    import os as _os
+
+    spairs = None  # sharded-decompose state (multi-device path)
     prof_decomp = profile("decomposition")
     prof_decomp.__enter__()
-    while True:
-        tgt_s, pid_s, cell_s, rank_s, n_pairs = decompose(positions, sd, pair_capacity)
-        # one batched round trip: true pair count + occupied-subdomain count
-        n_pairs, n_occ = (
-            int(x)
-            for x in jax.device_get((n_pairs, _count_segments(tgt_s, n_pairs)))
+    if (
+        dev_mesh is not None
+        and _os.environ.get("SPLASHSURF_TPU_SHARD_DECOMP", "1") == "1"
+    ):
+        # Sharded decomposition: pair expansion + sort run on P("sub")
+        # shards (x-slab subdomain ownership); no full-N pair array exists
+        # on any device (parallel/decompose.py, dense_subdomains.rs:349-494
+        # is the reference's whole-machine analog).
+        from splashsurf_tpu.parallel.decompose import decompose_sharded
+
+        dec = decompose_sharded(positions, sd, dev_mesh, n_valid=n_valid)
+        D = dec["D"]
+        n_occ_d = dec["n_occ_d"].astype(np.int64)
+        occ_ids = (
+            np.concatenate(
+                [dec["occ"][d, : n_occ_d[d]] for d in range(D)]
+            ).astype(np.int64)
+            if n_occ_d.sum()
+            else np.zeros(0, np.int64)
         )
-        if n_pairs <= pair_capacity:
-            break
-        pair_capacity = _pow2_at_least(n_pairs)
-    # Occupied-subdomain segments computed on device: only (B,)-sized
-    # arrays cross the host link instead of the full pair array.
-    b_cap = _pow2_at_least(n_occ, lo=8)
-    occ_d, starts_dv, counts_dv = _segments_device(tgt_s, n_pairs, b_cap)
-    occ_np, starts_np, counts_np = jax.device_get((occ_d, starts_dv, counts_dv))
-    occ_ids = occ_np[:n_occ].astype(np.int64)
-    occ_starts = starts_np[:n_occ].astype(np.int64)
-    occ_counts = counts_np[:n_occ].astype(np.int64)
+        occ_counts = (
+            np.concatenate(
+                [dec["counts"][d, : n_occ_d[d]] for d in range(D)]
+            ).astype(np.int64)
+            if n_occ_d.sum()
+            else np.zeros(0, np.int64)
+        )
+        occ_starts = None  # device-local; the sharded splat gathers locally
+        spairs = dec
+        spairs["dev_off"] = np.concatenate(
+            [[0], np.cumsum(n_occ_d)[:-1]]
+        ).astype(np.int64)
+    else:
+        pair_capacity = _pow2_at_least(int(n * 1.5) + 64)
+        while True:
+            tgt_s, pid_s, cell_s, rank_s, n_pairs = decompose(
+                positions, sd, pair_capacity
+            )
+            # one batched round trip: true pair count + occupied count
+            n_pairs, n_occ = (
+                int(x)
+                for x in jax.device_get(
+                    (n_pairs, _count_segments(tgt_s, n_pairs))
+                )
+            )
+            if n_pairs <= pair_capacity:
+                break
+            pair_capacity = _pow2_at_least(n_pairs)
+        # Occupied-subdomain segments computed on device: only (B,)-sized
+        # arrays cross the host link instead of the full pair array.
+        b_cap = _pow2_at_least(n_occ, lo=8)
+        occ_d, starts_dv, counts_dv = _segments_device(tgt_s, n_pairs, b_cap)
+        occ_np, starts_np, counts_np = jax.device_get(
+            (occ_d, starts_dv, counts_dv)
+        )
+        occ_ids = occ_np[:n_occ].astype(np.int64)
+        occ_starts = starts_np[:n_occ].astype(np.int64)
+        occ_counts = counts_np[:n_occ].astype(np.int64)
     prof_decomp.__exit__(None, None, None)
     B = len(occ_ids)
     if B == 0:
@@ -1248,6 +1296,12 @@ def reconstruct_surface_subdomain_grid(
         dev_mesh is None
         and stream_env != "0"
         and (stream_env == "1" or ls_bytes > stream_budget)
+    )
+    LAST_RUN.clear()
+    LAST_RUN.update(
+        B=B, streamed=use_stream, ls_bytes=ls_bytes,
+        sharded_pairs=spairs is not None,
+        n_subdomains=sd.num_subdomains,
     )
 
     order = np.argsort(occ_counts, kind="stable")  # group similar sizes
@@ -1275,7 +1329,7 @@ def reconstruct_surface_subdomain_grid(
     raster_chunk_cap = 8
     prof_splat = profile("level set splat")
     prof_splat.__enter__()
-    starts_d = jnp.asarray(occ_starts)
+    starts_d = jnp.asarray(occ_starts) if occ_starts is not None else None
     if dev_mesh is not None:
         positions_ext = jax.device_put(positions_ext, repl_sh)
         values_ext = jax.device_put(values_ext, repl_sh)
@@ -1315,12 +1369,126 @@ def reconstruct_surface_subdomain_grid(
             particle_inside_aabb=particle_inside_aabb,
         )
 
+    if spairs is not None:
+        # --- sharded-pairs execution: chunks are planned PER DEVICE over
+        # that device's local occupied rows (its x-slab's pairs never leave
+        # the shard), then same-(K, C, kind) chunks from all devices batch
+        # into one (D*Gd, C) rows_mat sharded over the device axis.
+        D = spairs["D"]
+        b_cap = spairs["b_cap"]
+        n_occ_d = spairs["n_occ_d"].astype(np.int64)
+        dev_off = spairs["dev_off"]
+        # device-local tables with an EMPTY row at index b_cap (pad chunks
+        # splat zero particles and emit nothing)
+        st_ext = np.concatenate(
+            [spairs["starts"], np.zeros((D, 1), np.int32)], axis=1
+        ).reshape(-1)
+        ct_ext = np.concatenate(
+            [spairs["counts"], np.zeros((D, 1), np.int32)], axis=1
+        ).reshape(-1)
+        nss = sd.num_subdomains
+        sub_ijk_dev = np.zeros((D, b_cap + 1, 3), np.int32)
+        for d in range(D):
+            ids = spairs["occ"][d, : n_occ_d[d]].astype(np.int64)
+            sub_ijk_dev[d, : n_occ_d[d], 0] = ids // (nss[1] * nss[2])
+            sub_ijk_dev[d, : n_occ_d[d], 1] = (ids // nss[2]) % nss[1]
+            sub_ijk_dev[d, : n_occ_d[d], 2] = ids % nss[2]
+        starts_sh = jax.device_put(jnp.asarray(st_ext), batch_sh)
+        counts_sh = jax.device_put(jnp.asarray(ct_ext), batch_sh)
+        subijk_sh = jax.device_put(
+            jnp.asarray(sub_ijk_dev.reshape(-1, 3)), batch_sh
+        )
+        by_shape: dict = {}
+        for d in range(D):
+            cnts = spairs["counts"][d, : n_occ_d[d]].astype(np.int64)
+            if len(cnts) == 0:
+                continue
+            order_d = np.argsort(cnts, kind="stable")
+            for ent in _chunk_plan(
+                order_d, cnts, threshold, chunk_size, raster_chunk_cap,
+                slot_budget, _k_bucket,
+            ):
+                by_shape.setdefault(ent[2:5], {}).setdefault(d, []).append(
+                    ent
+                )
+        for (K, C, kind), per_dev in by_shape.items():
+            Gd = _bucket_count(max(len(v) for v in per_dev.values()))
+            rows_mat = np.full((D, Gd, C), b_cap, np.int32)
+            for d, ents in per_dev.items():
+                for g, ent in enumerate(ents):
+                    r = ent[0]
+                    rows_mat[d, g, : len(r)] = np.where(r >= 0, r, b_cap)
+            f = pmesh.sharded_scan_splat_pairs(
+                dev_mesh, sd, hsc, K, unroll, kind, float(support)
+            )
+            ls_g, overs_g = f(
+                positions_ext, values_ext, spairs["pid_s"],
+                spairs["cell_s"], spairs["rank_s"], starts_sh, counts_sh,
+                subijk_sh,
+                jax.device_put(
+                    jnp.asarray(rows_mat.reshape(D * Gd, C)), batch_sh
+                ),
+            )
+            flat_idx = []
+            part_idx = len(ls_parts)
+            off = 0
+            for d in sorted(per_dev):
+                for g, ent in enumerate(per_dev[d]):
+                    rows_l, step = ent[0][: ent[1]], ent[1]
+                    flat_idx.append((d * Gd + g) * C + np.arange(step))
+                    part_rows.append(dev_off[d] + rows_l)
+                    if kind == "raster":
+                        raster_checks.append(
+                            (
+                                part_idx, off, step,
+                                ("sharded", int(d), rows_l, C), K,
+                                overs_g[d * Gd + g],
+                            )
+                        )
+                    off += step
+            ls_parts.append(
+                ls_g.reshape((D * Gd * C,) + ls_g.shape[2:])[
+                    jnp.asarray(np.concatenate(flat_idx).astype(np.int32))
+                ]
+            )
+
+        if raster_checks:
+            overs = jax.device_get([c[5] for c in raster_checks])
+            for (part_idx, off, vc, info, K_c, _), over in zip(
+                raster_checks, overs
+            ):
+                if int(over) > 256:
+                    _, d, rows_l, C_c = info
+                    redo_mat = np.full((D, 1, C_c), b_cap, np.int32)
+                    redo_mat[d, 0, :vc] = rows_l
+                    f = pmesh.sharded_scan_splat_pairs(
+                        dev_mesh, sd, hsc, K_c, unroll, "scatter",
+                        float(support),
+                    )
+                    ls_redo_g, _ = f(
+                        positions_ext, values_ext, spairs["pid_s"],
+                        spairs["cell_s"], spairs["rank_s"], starts_sh,
+                        counts_sh, subijk_sh,
+                        jax.device_put(
+                            jnp.asarray(redo_mat.reshape(D, C_c)), batch_sh
+                        ),
+                    )
+                    ls_redo = ls_redo_g.reshape(
+                        (D * C_c,) + ls_redo_g.shape[2:]
+                    )[jnp.asarray((d * C_c + np.arange(vc)).astype(np.int32))]
+                    ls_parts[part_idx] = (
+                        ls_parts[part_idx].at[off : off + vc].set(ls_redo)
+                    )
+        raster_checks.clear()
+        plan = None
+    else:
+        plan = []
+
     # --- chunk planning (host only, no dispatches): same boundaries as the
     # execution loop this replaces; entries of equal (K, C, kind) form
     # contiguous groups thanks to the occupancy-ascending order.
-    plan: List[tuple] = []  # (rows (C,), valid_count, K, C, kind)
     i = 0
-    while i < B:
+    while plan is not None and i < B:
         # occupancy-ascending order: shrink the chunk until C*K fits budget
         j = min(i + chunk_size, B)
         while j > i + 1:
@@ -1355,7 +1523,7 @@ def reconstruct_surface_subdomain_grid(
     # scan body, which keeps them bit-identical to single-device.
     # raster_checks entries: (part_idx, row_offset, valid, rows, K, over)
     gi = 0
-    while gi < len(plan):
+    while plan is not None and gi < len(plan):
         gj = gi
         K, C, kind = plan[gi][2], plan[gi][3], plan[gi][4]
         while gj < len(plan) and plan[gj][2:5] == (K, C, kind):
