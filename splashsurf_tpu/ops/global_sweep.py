@@ -508,27 +508,40 @@ def mc_global_cells(
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
     cs = jnp.asarray(grid.cell_size, dtype)
 
-    # --- active-POINT compaction (the one wide scatter) -------------------
+    # --- active-POINT compaction ------------------------------------------
     # Each grid point owns its 3 origin edges (+x/+y/+z) and, when interior,
     # the cell with the same ijk. A point-shaped 11-bit word packs the cell
     # case (bits 0-7; 0 for far-boundary points with no cell) and the three
     # origin-edge activity bits (8-10). Points own edges rather than cells
     # because a surface touching the far grid planes has active edges whose
     # same-ijk CELL does not exist — the point always does.
-    def pad_to_points(x):
-        return jnp.pad(x, [(0, PX - x.shape[0]), (0, PY - x.shape[1]), (0, PZ - x.shape[2])])
+    # One shared padded array feeds every shifted term (each per-term
+    # pad+concat materialized a full point-grid intermediate).
+    insp = jnp.pad(inside, ((0, 1), (0, 1), (0, 1)))  # (PX+1, PY+1, PZ+1)
 
-    case = jnp.zeros((PX - 1, PY - 1, PZ - 1), jnp.int32)
+    def win(oi, oj, ok):
+        return jax.lax.dynamic_slice(insp, (oi, oj, ok), (PX, PY, PZ))
+
+    base = win(0, 0, 0)
+    case = jnp.zeros((PX, PY, PZ), jnp.int32)
     for c8 in range(8):
         oi, oj, ok = (c8 >> 2) & 1, (c8 >> 1) & 1, c8 & 1
-        corner = inside[oi : oi + PX - 1, oj : oj + PY - 1, ok : ok + PZ - 1]
-        case = case | (corner.astype(jnp.int32) << c8)
-    word = pad_to_points(jnp.where((case != 0) & (case != 255), case, 0))
+        case = case | (win(oi, oj, ok).astype(jnp.int32) << c8)
+    # pad plane points have no cell: their case includes out-of-grid zeros,
+    # which is exactly the reference's "no data = outside" domain shrink —
+    # but the cell bits must be DROPPED on far-boundary points (no cell).
+    ii = jnp.arange(PX)[:, None, None]
+    jj = jnp.arange(PY)[None, :, None]
+    kk = jnp.arange(PZ)[None, None, :]
+    has_cell = (ii < PX - 1) & (jj < PY - 1) & (kk < PZ - 1)
+    word = jnp.where(
+        has_cell & (case != 0) & (case != 255), case, 0
+    )
     for a, bit in ((0, 8), (1, 9), (2, 10)):
-        sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
-        sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
-        em = inside[sl0] != inside[sl1]
-        word = word | (pad_to_points(em.astype(jnp.int32)) << bit)
+        nbr = win(1 if a == 0 else 0, 1 if a == 1 else 0, 1 if a == 2 else 0)
+        in_rng = (ii, jj, kk)[a] < (PX, PY, PZ)[a] - 1
+        em = (base != nbr) & in_rng
+        word = word | (em.astype(jnp.int32) << bit)
     word_flat = word.reshape(-1)
     active = word_flat != 0
     # Packed single-scatter compaction: scattering (point id, word) as two
@@ -544,9 +557,14 @@ def mc_global_cells(
     ucdest = jnp.where(active, acum - 1, cap)
     local = jnp.arange(n_pts, dtype=jnp.int32) & (BLOCK - 1)
     packed = (
-        jnp.zeros((cap,), jnp.int32)
+        jnp.zeros((cap,), jnp.uint16)
         .at[ucdest]
-        .set((local << 11) | word_flat, mode="drop", unique_indices=True)
+        .set(
+            ((local << 11) | word_flat).astype(jnp.uint16),
+            mode="drop",
+            unique_indices=True,
+        )
+        .astype(jnp.int32)
     )
     nb = boffs.shape[0]
     bdest = jnp.where(bsum > 0, boffs, cap)
