@@ -151,7 +151,7 @@ def sharded_mc_counts(mesh: Mesh, sd: SubdomainGridParams):
             mesh=mesh,
             check_vma=False,  # scan carries inside the kernels start unvarying
             in_specs=(P("sub"), P()),
-            out_specs=(P("sub"), P("sub")),
+            out_specs=(P("sub"), P("sub"), P("sub")),
         )
     )
 
@@ -176,7 +176,7 @@ def sharded_chunk_mc(mesh: Mesh, sd: SubdomainGridParams, vcap_local: int, tcap_
             mesh=mesh,
             check_vma=False,  # scan carries inside the kernels start unvarying
             in_specs=(P("sub"), P("sub"), P()),
-            out_specs=tuple([P("sub")] * 10),
+            out_specs=tuple([P("sub")] * 11),
         )
     )
 
@@ -272,7 +272,7 @@ def sharded_scan_mc(mesh: Mesh, sd: SubdomainGridParams, pack_vc: int, pack_tc: 
             mesh=mesh,
             check_vma=False,
             in_specs=(P(), P(), P("sub"), P()),
-            out_specs=tuple([P("sub")] * 10),
+            out_specs=tuple([P("sub")] * 11),
         )
     )
 
@@ -440,8 +440,8 @@ def sharded_reconstruction_demo(n_devices: int, parameters: Optional[Parameters]
             **args,
         )
         jax.block_until_ready(out)
-    total_v = int(out[8])
-    total_t = int(out[9])
+    total_v = int(out[9])
+    total_t = int(out[10])
     assert total_t > 0, "sharded demo produced no triangles"
     return {
         "devices": n_dev,

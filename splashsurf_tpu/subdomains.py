@@ -596,18 +596,32 @@ def _halo_from_shells(ls, own_flat, nb_idx, nb_flat, shells):
 
 
 def _mc_counts_blocks(ls, iso):
-    """Per-block vertex/triangle counts ((C,) each) — chunk_mc_counts' body."""
+    """Per-block (vertex, triangle, boundary-vertex) counts ((C,) each) —
+    chunk_mc_counts' body (see its docstring for the boundary predicate)."""
+    P = ls.shape[1]
 
     def one(v):
         inside = v >= iso
         nv = 0
+        nb = 0
         for a in range(3):
             sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
             sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
-            nv += jnp.sum((inside[sl0] != inside[sl1]).astype(jnp.int32))
+            em = inside[sl0] != inside[sl1]
+            nv += jnp.sum(em.astype(jnp.int32))
+            onplane = jnp.zeros(em.shape, bool)
+            for d in range(3):
+                if d == a:
+                    continue
+                idx = jnp.arange(em.shape[d])
+                edge = (idx == 0) | (idx == P - 1)
+                shape = [1, 1, 1]
+                shape[d] = em.shape[d]
+                onplane = onplane | edge.reshape(shape)
+            nb += jnp.sum((em & onplane).astype(jnp.int32))
         case = mc_dense._case_indices(inside)
         nt = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
-        return nv, nt
+        return nv, nt, nb
 
     return jax.vmap(one)(ls)
 
@@ -659,11 +673,11 @@ def _scan_stream1(
             ls, own_flat_ext[rows], nb_idx_ext[:, rows],
             nb_flat_ext[:, rows], shells,
         )
-        nv, nt = _mc_counts_blocks(ls, iso)
-        return shells, (nv, nt, over)
+        nv, nt, nb = _mc_counts_blocks(ls, iso)
+        return shells, (nv, nt, nb, over)
 
-    shells, (nv, nt, overs) = jax.lax.scan(body, shells, rows_mat)
-    return shells, nv, nt, overs
+    shells, (nv, nt, nb, overs) = jax.lax.scan(body, shells, rows_mat)
+    return shells, nv, nt, nb, overs
 
 
 @functools.partial(
@@ -786,7 +800,7 @@ def _stream_levelset_mc(
         )
         nv_all = np.zeros(B, np.int64)
         nt_all = np.zeros(B, np.int64)
-        over_entries = []  # (chunk rows, device over scalar)
+        nb_all = np.zeros(B, np.int64)
         outs = []
         gi = 0
         while gi < len(plan):
@@ -799,37 +813,38 @@ def _stream_levelset_mc(
             for c, ent in enumerate(group):
                 r = ent[0]
                 rows_mat[c, : len(r)] = np.where(r >= 0, r, B)
-            shells, nv, nt, overs = _scan_stream1(
+            shells, nv, nt, nb, overs = _scan_stream1(
                 positions_ext, values_ext, pid_s, cell_s, rank_s,
                 starts_ext, counts_ext, sub_ijk_ext,
                 jnp.asarray(rows_mat), own_ext, nb_idx_ext, nb_flat_ext,
                 shells, iso_j, sd=sd, support=float(support), hsc=hsc,
                 K=K, unroll=unroll, kind=kind,
             )
-            outs.append((group, nv, nt, overs))
+            outs.append((group, nv, nt, nb, overs))
             gi = gj
         # one pull for all counts + overflow checks
-        pulled = jax.device_get([(o[1], o[2], o[3]) for o in outs])
+        pulled = jax.device_get([o[1:] for o in outs])
         bad_rows = set()
-        for (group, _, _, _), (nv, nt, overs) in zip(outs, pulled):
+        for (group, *_), (nv, nt, nb, overs) in zip(outs, pulled):
             for c, ent in enumerate(group):
                 rows, step, _, _, kind = ent
                 rr = rows[:step]
                 nv_all[rr] = nv[c][:step]
                 nt_all[rr] = nt[c][:step]
+                nb_all[rr] = nb[c][:step]
                 if kind == "raster" and int(np.max(overs[c])) > 256:
                     bad_rows.update(int(r) for r in rr)
-        return shells, nv_all, nt_all, bad_rows
+        return shells, nv_all, nt_all, nb_all, bad_rows
 
     forced: set = set()
-    shells, nv_all, nt_all, bad = run_pass1(forced)
+    shells, nv_all, nt_all, nb_all, bad = run_pass1(forced)
     if bad:
         # raster slot overflow corrupts the chunk's blocks AND any later
         # chunk that consumed its shell: redo the whole pass with the
         # offending rows forced to the exact scatter kind (scatter chunks
         # cannot overflow, so one retry suffices)
         forced = bad
-        shells, nv_all, nt_all, _ = run_pass1(forced)
+        shells, nv_all, nt_all, nb_all, _ = run_pass1(forced)
 
     active = np.nonzero(nv_all > 0)[0]
     if len(active) == 0:
@@ -873,11 +888,12 @@ def _stream_levelset_mc(
         parts.append(outs)
         gi = gj
 
-    stacked = [jnp.concatenate([p[k] for p in parts], axis=0) for k in range(8)]
-    t_counts = jnp.concatenate([p[9] for p in parts], axis=0)
-    v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
-    t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
-    s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
+    stacked = [jnp.concatenate([p[k] for p in parts], axis=0) for k in range(9)]
+    t_counts = jnp.concatenate([p[10] for p in parts], axis=0)
+    v_out_cap = _bucket16(int(nv_all.sum()), lo=1024)
+    t_out_cap = _bucket16(int(nt_all.sum()), lo=1024)
+    bnd_cap = _bucket16(int(nb_all.sum()), lo=1024)
+    s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap, bnd_cap)
     total_v, total_t = (int(x) for x in jax.device_get((s[6], s[7])))
     tv = min(v_out_cap, _bucket16(total_v))
     tt = min(t_out_cap, _bucket16(total_t))
@@ -896,16 +912,36 @@ def _stream_levelset_mc(
 
 @functools.partial(jax.jit, static_argnames=("sd",))
 def chunk_mc_counts(ls, sd: SubdomainGridParams, iso):
+    """Per-block (vertex, triangle, BOUNDARY-vertex) counts.
+
+    A vertex is "boundary" when its edge lies inside a shared subdomain
+    plane (some non-axis base coordinate at 0 or P-1) — the only vertices
+    that can be emitted by two blocks and therefore the only ones the
+    stitch must sort-dedup."""
+    P = ls.shape[1]
+
     def one(v):
         inside = v >= iso
         nv = 0
+        nb = 0
         for a in range(3):
             sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
             sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
-            nv += jnp.sum((inside[sl0] != inside[sl1]).astype(jnp.int32))
+            em = inside[sl0] != inside[sl1]
+            nv += jnp.sum(em.astype(jnp.int32))
+            onplane = jnp.zeros(em.shape, bool)
+            for d in range(3):
+                if d == a:
+                    continue
+                idx = jnp.arange(em.shape[d])
+                edge = (idx == 0) | (idx == P - 1)
+                shape = [1, 1, 1]
+                shape[d] = em.shape[d]
+                onplane = onplane | edge.reshape(shape)
+            nb += jnp.sum((em & onplane).astype(jnp.int32))
         case = mc_dense._case_indices(inside)
         nt = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
-        return nv, nt
+        return nv, nt, nb
 
     return jax.vmap(one)(ls)
 
@@ -1000,6 +1036,15 @@ def chunk_mc(
     valid_v = jnp.arange(pack_vertex_capacity, dtype=jnp.int32) < total_v
     phi = jnp.where(valid_v, khi.astype(jnp.int32), _INT32_MAX)
     plo = jnp.where(valid_v, klo.astype(jnp.int32), _INT32_MAX)
+    # Boundary flag: the edge lies in a shared subdomain plane (some
+    # non-axis base coordinate at 0 or n_sub) — the only vertices another
+    # block can also emit. Interior vertices skip the stitch's sort-dedup.
+    bnd = jnp.zeros((pack_vertex_capacity,), bool)
+    for d in range(3):
+        bnd = bnd | (
+            (axis != d) & ((ijk[:, d] == 0) | (ijk[:, d] == n_sub))
+        )
+    bnd = bnd & valid_v
 
     # --- phase 3: active-cell compaction + triangle emission --------------
     case = jnp.zeros((C, P - 1, P - 1, P - 1), jnp.int32)
@@ -1062,50 +1107,107 @@ def chunk_mc(
         tcols.append(jnp.where(emit, tvidx, 0))
 
     return (
-        pvx, pvy, pvz, phi, plo, tcols[0], tcols[1], tcols[2], total_v, total_t,
+        pvx, pvy, pvz, phi, plo, bnd,
+        tcols[0], tcols[1], tcols[2], total_v, total_t,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("v_out_cap", "t_out_cap"))
-def _stitch_device(vx, vy, vz, khi, klo, t0, t1, t2, t_counts, v_out_cap, t_out_cap):
+@functools.partial(
+    jax.jit, static_argnames=("v_out_cap", "t_out_cap", "bnd_cap")
+)
+def _stitch_device(
+    vx, vy, vz, khi, klo, bnd, t0, t1, t2, t_counts,
+    v_out_cap, t_out_cap, bnd_cap,
+):
     """Device-side stitch: dedup vertices by global edge key, remap triangles.
 
-    All inputs are stacked per-chunk pack arrays: vx/vy/vz/khi/klo (nC, Vcap),
-    t0/t1/t2 (nC, Tcap) with chunk-local vertex indices, t_counts (nC,) true
-    triangle counts. Pad vertex rows carry INT32_MAX keys (chunk_mc). Replaces
-    the host-side np.unique stitch — only the final mesh crosses the host
-    link (ref stitching: dense_subdomains.rs:1603-1749).
+    All inputs are stacked per-chunk pack arrays: vx/vy/vz/khi/klo/bnd
+    (nC, Vcap), t0/t1/t2 (nC, Tcap) with chunk-local vertex indices,
+    t_counts (nC,) true triangle counts. Pad vertex rows carry INT32_MAX
+    keys (chunk_mc). Replaces the host-side np.unique stitch — only the
+    final mesh crosses the host link (ref: dense_subdomains.rs:1603-1749).
+
+    Only BOUNDARY vertices (edge inside a shared subdomain plane — the
+    ``bnd`` flag from chunk_mc) can be emitted twice, so only they pay the
+    sort-dedup; interior vertices stream through a cumsum compaction. The
+    whole-pack key sort this replaces dominated the sparse frame (~40 s at
+    a 19M-row stacked pack vs ~0.5 s of compaction scatters). ``bnd_cap``
+    must cover the true boundary-vertex total (exact from chunk_mc_counts).
+    Final vertex order: interior in (chunk, pack) order, then deduped
+    boundary vertices in key order.
     """
     nC, Vcap = vx.shape
     flat = nC * Vcap
     khi_f = khi.reshape(-1)
     klo_f = klo.reshape(-1)
-    idx = jnp.arange(flat, dtype=jnp.int32)
-    khi_s, klo_s, idx_s = jax.lax.sort((khi_f, klo_f, idx), num_keys=2)
-    valid_s = khi_s != _INT32_MAX
-    is_new = valid_s & jnp.concatenate(
+    bnd_f = bnd.reshape(-1)
+    valid_f = khi_f != _INT32_MAX
+
+    # interior: cumsum compaction, no dedup needed
+    interior = valid_f & ~bnd_f
+    icum = jnp.cumsum(interior.astype(jnp.int32))
+    n_int = icum[-1]
+    idest = jnp.where(interior, icum - 1, v_out_cap)
+
+    # boundary: compact to (bnd_cap,), then sort-dedup only those
+    bmask = valid_f & bnd_f
+    bcum = jnp.cumsum(bmask.astype(jnp.int32))
+    n_bnd = bcum[-1]
+    bdest = jnp.where(bmask, bcum - 1, bnd_cap)
+    bidx = jnp.arange(flat, dtype=jnp.int32)
+    bkhi = jnp.full((bnd_cap,), _INT32_MAX, jnp.int32).at[bdest].set(
+        khi_f, mode="drop", unique_indices=True
+    )
+    bklo = jnp.full((bnd_cap,), _INT32_MAX, jnp.int32).at[bdest].set(
+        klo_f, mode="drop", unique_indices=True
+    )
+    bsrc = jnp.zeros((bnd_cap,), jnp.int32).at[bdest].set(
+        bidx, mode="drop", unique_indices=True
+    )
+    skhi, sklo, rsrc = jax.lax.sort((bkhi, bklo, bsrc), num_keys=2)
+    bvalid_s = skhi != _INT32_MAX
+    is_new = bvalid_s & jnp.concatenate(
         [
             jnp.array([True]),
-            (khi_s[1:] != khi_s[:-1]) | (klo_s[1:] != klo_s[:-1]),
+            (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1]),
         ]
     )
     uniq_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    total_unique = (uniq_rank[-1] + 1).astype(jnp.int32)
-    # inverse: concat pack index -> unique vertex index
-    inverse = (
-        jnp.zeros((flat,), jnp.int32)
-        .at[idx_s]
-        .set(jnp.where(valid_s, uniq_rank, 0), mode="drop", unique_indices=True)
+    n_ubnd = (uniq_rank[-1] + 1).astype(jnp.int32)
+    total_unique = n_int + n_ubnd
+
+    # inverse: concat pack index -> final vertex index. Boundary rows that
+    # LOST the dedup must map to the winner's rank: forward-fill uniq_rank
+    # over the sorted runs covers every sorted row, then scatter back
+    # through rsrc (each row's original flat index).
+    inverse = jnp.zeros((flat,), jnp.int32)
+    inverse = inverse.at[jnp.where(interior, bidx, flat)].set(
+        icum - 1, mode="drop", unique_indices=True
     )
-    udest = jnp.where(is_new, uniq_rank, v_out_cap)
-    uvx = jnp.zeros((v_out_cap,), vx.dtype).at[udest].set(
-        vx.reshape(-1)[idx_s], mode="drop", unique_indices=True
+    inverse = inverse.at[jnp.where(bvalid_s, rsrc, flat)].set(
+        n_int + uniq_rank, mode="drop", unique_indices=True
     )
-    uvy = jnp.zeros((v_out_cap,), vy.dtype).at[udest].set(
-        vy.reshape(-1)[idx_s], mode="drop", unique_indices=True
+
+    # vertex components: interior at [0, n_int), boundary at n_int + rank
+    udest = jnp.where(is_new, n_int + uniq_rank, v_out_cap)
+    rsrc_c = jnp.clip(rsrc, 0, flat - 1)
+    uvx = jnp.zeros((v_out_cap,), vx.dtype).at[idest].set(
+        vx.reshape(-1), mode="drop", unique_indices=True
     )
-    uvz = jnp.zeros((v_out_cap,), vz.dtype).at[udest].set(
-        vz.reshape(-1)[idx_s], mode="drop", unique_indices=True
+    uvx = uvx.at[udest].set(
+        vx.reshape(-1)[rsrc_c], mode="drop", unique_indices=True
+    )
+    uvy = jnp.zeros((v_out_cap,), vy.dtype).at[idest].set(
+        vy.reshape(-1), mode="drop", unique_indices=True
+    )
+    uvy = uvy.at[udest].set(
+        vy.reshape(-1)[rsrc_c], mode="drop", unique_indices=True
+    )
+    uvz = jnp.zeros((v_out_cap,), vz.dtype).at[idest].set(
+        vz.reshape(-1), mode="drop", unique_indices=True
+    )
+    uvz = uvz.at[udest].set(
+        vz.reshape(-1)[rsrc_c], mode="drop", unique_indices=True
     )
 
     # triangles: compact chunk blocks to their true counts, remap indices
@@ -1124,7 +1226,7 @@ def _stitch_device(vx, vy, vz, khi, klo, t0, t1, t2, t_counts, v_out_cap, t_out_
             .set(gi, mode="drop", unique_indices=True)
         )
     total_t = jnp.sum(t_counts).astype(jnp.int32)
-    return uvx, uvy, uvz, outs[0], outs[1], outs[2], total_unique, total_t
+    return uvx, uvy, uvz, outs[0], outs[1], outs[2], total_unique, total_t, n_bnd
 
 
 # ---------------------------------------------------------------------------
@@ -1246,7 +1348,9 @@ def reconstruct_surface_subdomain_grid(
             [[0], np.cumsum(n_occ_d)[:-1]]
         ).astype(np.int64)
     else:
-        pair_capacity = _pow2_at_least(int(n * 1.5) + 64)
+        # bucket16, not pow2: the pair sort is the decomposition's wall
+        # (~1 us/row on this chip) and pow2 padded it by up to 2x
+        pair_capacity = _bucket16(int(n * 1.5) + 64, lo=1024)
         while True:
             tgt_s, pid_s, cell_s, rank_s, n_pairs = decompose(
                 positions, sd, pair_capacity
@@ -1260,7 +1364,7 @@ def reconstruct_surface_subdomain_grid(
             )
             if n_pairs <= pair_capacity:
                 break
-            pair_capacity = _pow2_at_least(n_pairs)
+            pair_capacity = _bucket16(n_pairs, lo=1024)
         # Occupied-subdomain segments computed on device: only (B,)-sized
         # arrays cross the host link instead of the full pair array.
         b_cap = _pow2_at_least(n_occ, lo=8)
@@ -1657,11 +1761,11 @@ def reconstruct_surface_subdomain_grid(
     with profile("mc counts"):
         if dev_mesh is not None:
             counts_f = pmesh.sharded_mc_counts(dev_mesh, sd)
-            nv_all, nt_all = jax.device_get(
+            nv_all, nt_all, nb_all = jax.device_get(
                 counts_f(ls_all, jnp.asarray(iso, dtype))
             )
         else:
-            nv_all, nt_all = jax.device_get(
+            nv_all, nt_all, nb_all = jax.device_get(
                 chunk_mc_counts(ls_all, sd, jnp.asarray(iso, dtype))
             )
 
@@ -1729,11 +1833,14 @@ def reconstruct_surface_subdomain_grid(
     else:
         with profile("stitching"):
             # scanned packs are already stacked (G, cap) on device
-            stacked = [scanned_mc[k] for k in range(8)]
-            t_counts = scanned_mc[9]
-            v_out_cap = _pow2_at_least(int(nv_all.sum()), lo=1024)
-            t_out_cap = _pow2_at_least(int(nt_all.sum()), lo=1024)
-            s = _stitch_device(*stacked, t_counts, v_out_cap, t_out_cap)
+            stacked = [scanned_mc[k] for k in range(9)]
+            t_counts = scanned_mc[10]
+            v_out_cap = _bucket16(int(nv_all.sum()), lo=1024)
+            t_out_cap = _bucket16(int(nt_all.sum()), lo=1024)
+            bnd_cap = _bucket16(int(nb_all.sum()), lo=1024)
+            s = _stitch_device(
+                *stacked, t_counts, v_out_cap, t_out_cap, bnd_cap
+            )
             total_v, total_t = (int(x) for x in jax.device_get((s[6], s[7])))
             tv = min(v_out_cap, _bucket16(total_v))
             tt = min(t_out_cap, _bucket16(total_t))
