@@ -230,6 +230,89 @@ def _try_warm_frame(
     return verts, tris, rho
 
 
+def _cellrast_frame(
+    positions, parameters: Parameters, grid, hsc, grid_check, n_valid,
+    defer_pull: bool,
+):
+    """Warm frame with cell-raster density (see reconstruct_surface_global).
+
+    Returns ((verts, tris) | PendingPull, rho) on success, or None when the
+    frame missed (raster overflow appeared — the deferred n_overflow check
+    exceeds the zero capacity — or an MC caps retry is needed): the caller
+    re-runs the frame through the legacy density path, and _OVER_PLAN has
+    been grown so subsequent frames stop taking this branch until the
+    overflow plan re-fits to zero.
+    """
+    import math
+    import os
+
+    from splashsurf_tpu.ops import global_sweep as gs
+    from splashsurf_tpu.profiling import profile
+
+    csr = float(parameters.compact_support_radius)
+    dtype = positions.dtype
+    reach = int(math.ceil(csr / grid.cell_size - 1e-9))
+    h_over_cs = csr / grid.cell_size
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "scan"
+    dens_backend = "pallas" if on_tpu else "xla"
+    sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
+
+    def _sync(x):
+        if sync:
+            jax.block_until_ready(x)
+        return x
+
+    with profile("rasterize"):
+        r = _sync(
+            gs.rasterize_global(
+                positions, positions[:, 0], grid, 2, hsc, 0,
+                lane_align=128 if on_tpu else 1, with_meta=True,
+            )
+        )
+    fx, fy, fz, opx, opy, opz, oval, n_over, rank, ok_m, cx, cy, cz = r
+    with profile("compute particle densities"):
+        fv, rho = _sync(
+            gs.density_weights_from_rasters(
+                fx, fy, fz, rank, ok_m, cx, cy, cz,
+                jnp.asarray(parameters.particle_rest_mass, dtype),
+                jnp.asarray(csr, dtype),
+                grid, hsc, reach, float(h_over_cs), dens_backend,
+            )
+        )
+    with profile("levelset sweep"):
+        ls = _sync(
+            gs.sweep_global(
+                fx, fy, fz, fv, opx, opy, opz, oval, grid, csr, hsc, backend
+            )
+        )
+    del fx, fy, fz, fv
+
+    key = (grid.n_points, str(ls.dtype))
+    okey = (grid.n_points, int(positions.shape[0]))
+    caps = gs._MC_CAPS[key]
+    checks = (grid_check,) if grid_check is not None else ()
+    labels = ("grid",) if grid_check is not None else ()
+    try:
+        out = gs._finish_global_dense(
+            ls, grid, parameters.iso_surface_threshold, caps, key, okey,
+            0, n_over, deferred_checks=checks, _sync=_sync,
+            profile=profile, defer_pull=defer_pull, check_labels=labels,
+        )
+    except gs.SpeculationMiss as e:
+        from splashsurf_tpu.reconstruction import GridPlanMiss
+
+        SPECULATION_STATS["grid_miss"] += 1
+        raise GridPlanMiss(str(e)) from e
+    if out is None:
+        # overflow appeared: grow the plan so later frames go legacy until
+        # a frame re-fits it to zero; this frame redoes through legacy
+        SPECULATION_STATS["overflow_retry"] += 1
+        gs._OVER_PLAN[okey] = gs._pow2(gs._LAST_OVERFLOW[0] * 2, lo=4096)
+        return None
+    return out, rho
+
+
 def reconstruct_surface_global(
     positions,
     parameters: Parameters,
@@ -273,12 +356,61 @@ def reconstruct_surface_global(
             particle_inside_aabb=particle_inside_aabb,
         )
 
+    import os
+
+    # Cell-raster density fast path: when the previous frame's raster had
+    # ZERO slot overflow (every particle owns a raster slot), rho comes
+    # from a pair sweep over the level-set rasters themselves — no separate
+    # density stage (binning scatters + its own sweep, ~105 ms at 2M).
+    # Any overflow in the actual frame invalidates it via the existing
+    # deferred n_overflow check and falls back to the legacy formulations.
+    from splashsurf_tpu.ops import global_sweep as gs
+
+    okey = (grid.n_points, int(positions.shape[0]))
+    on_tpu = jax.default_backend() == "tpu"
+    cr_env = os.environ.get("SPLASHSURF_TPU_DENSITY_CELLRASTER", "1")
+    use_cellrast = (
+        cr_env != "0"
+        and (on_tpu or cr_env == "1cpu")
+        and gs._OVER_PLAN.get(okey) == 0
+        and (grid.n_points, str(positions.dtype)) in gs._MC_CAPS
+    )
+    if use_cellrast:
+        out = _cellrast_frame(
+            positions, parameters, grid, hsc, grid_check, n_valid,
+            defer_pull=defer_pull
+            and not parameters.global_neighborhood_list,
+        )
+        if out is not None:
+            rec_or_pending, rho = out
+            if isinstance(rec_or_pending, gs.PendingPull):
+                rec = SurfaceReconstruction(
+                    grid=grid, mesh=None, particle_densities=rho,
+                    particle_inside_aabb=particle_inside_aabb,
+                )
+                rec._pending_mesh = rec_or_pending
+                return rec
+            verts, tris = rec_or_pending
+            particle_neighbors = None
+            if parameters.global_neighborhood_list:
+                particle_neighbors = (
+                    neighbors.neighborhood_search_spatial_hashing_parallel(
+                        positions, parameters.compact_support_radius
+                    )
+                )
+            return SurfaceReconstruction(
+                grid=grid,
+                mesh=TriMesh3d(vertices=verts, triangles=tris),
+                particle_densities=rho,
+                particle_neighbors=particle_neighbors,
+                particle_inside_aabb=particle_inside_aabb,
+            )
+        # miss (overflow appeared / caps retry): legacy path below
+
     # Densities (and, for warm frames, the background grid) run under
     # speculative plans; their validity flags are pulled together with the
     # final mesh totals. A density miss recomputes the frame here; a grid
     # miss propagates to reconstruct_surface, which re-derives the grid.
-    import os
-
     sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
     for _attempt in range(2):
         with profile("compute particle densities"):

@@ -38,7 +38,10 @@ from splashsurf_tpu.uniform_grid import UniformGrid
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "slots", "hsc", "overflow_capacity", "lane_align"),
+    static_argnames=(
+        "grid", "slots", "hsc", "overflow_capacity", "lane_align",
+        "with_meta",
+    ),
 )
 def rasterize_global(
     positions,  # (N, 3)
@@ -48,6 +51,7 @@ def rasterize_global(
     hsc: int,
     overflow_capacity: int,
     lane_align: int = 1,
+    with_meta: bool = False,
 ):
     """Rasterize particles into per-cell slot tables over the whole grid.
 
@@ -171,7 +175,9 @@ def rasterize_global(
     fx = raster(frac[0], jnp.inf)
     fy = raster(frac[1], jnp.inf)
     fz = raster(frac[2], jnp.inf)
-    fv = raster(values, 0.0)
+    # with_meta (the cell-raster density path) derives the value raster
+    # from the pair sweep instead — skip its 1-per-particle scatter
+    fv = None if with_meta else raster(values, 0.0)
 
     # overflow compaction
     over = valid & (rank >= slots)
@@ -184,6 +190,13 @@ def rasterize_global(
         jnp.zeros((overflow_capacity,), dtype).at[odest].set(values, mode="drop")
     )
     n_overflow = jnp.sum(over).astype(jnp.int32)
+    if with_meta:
+        # (slot rank, validity, per-axis cell) per particle: the cell-raster
+        # density path reads rho back through them (no value raster)
+        return (
+            fx, fy, fz, opos[0], opos[1], opos[2], oval, n_overflow,
+            rank, ok, cell[0], cell[1], cell[2],
+        )
     return fx, fy, fz, fv, opos[0], opos[1], opos[2], oval, n_overflow
 
 
@@ -305,6 +318,109 @@ def sweep_global(
         acc.reshape(-1),
     )
     return out_flat.reshape(PX, PY, PZ)
+
+
+# ---------------------------------------------------------------------------
+# cell-raster density: rho computed FROM the level-set rasters (no separate
+# density stage). The standalone density paid its own binning scatters +
+# sweep (~105 ms at 2M); here the pair sums run over the (slot, cell)
+# rasters already built for the level set, fv = m/rho is a pure elementwise
+# transform in raster layout (zero extra scatters), and per-particle rho is
+# one gather. Valid only when the frame has NO raster slot overflow (every
+# particle holds a raster slot) — the caller routes overflowing scenes
+# through the legacy density formulations.
+# ---------------------------------------------------------------------------
+
+
+def _pair_sweep_xla(fx, fy, fz, grid, cs, h, reach, h_over_cs, pad):
+    """Portable unrolled fallback of pair_sweep_pallas: acc4 (S, ncx, ncy,
+    ncz) of unnormalized spline pair sums (inf pads -> exactly 0 terms)."""
+    from splashsurf_tpu.ops.splat_pallas import pair_cell_offsets
+
+    S = fx.shape[0]
+    ncx, ncy, ncz = grid.n_cells
+    sl_q = (
+        slice(None), slice(pad, pad + ncx), slice(pad, pad + ncy),
+        slice(pad, pad + ncz),
+    )
+    fq = [f[sl_q] for f in (fx, fy, fz)]
+    acc = jnp.zeros((S, ncx, ncy, ncz), fx.dtype)
+    for o0, o1, o2 in pair_cell_offsets(reach, float(h_over_cs)):
+        sl = (
+            slice(None),
+            slice(pad + o0, pad + o0 + ncx),
+            slice(pad + o1, pad + o1 + ncy),
+            slice(pad + o2, pad + o2 + ncz),
+        )
+        for kj in range(S):
+            dx = fq[0] - (fx[sl][kj] + o0 * cs)
+            dy = fq[1] - (fy[sl][kj] + o1 * cs)
+            dz = fq[2] - (fz[sl][kj] + o2 * cs)
+            d2 = dx * dx + dy * dy + dz * dz
+            q = jnp.sqrt(d2) * (2.0 / h)
+            a = jnp.maximum(2.0 - q, 0.0)
+            b = jnp.maximum(1.0 - q, 0.0)
+            acc = acc + (a * a * a - 4.0 * (b * b * b))
+    return acc / (4.0 * np.pi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "hsc", "reach", "h_over_cs", "backend"),
+)
+def density_weights_from_rasters(
+    fx, fy, fz,  # (S, Xp, Yp, Zp) cell-fraction rasters (inf pads)
+    rank, ok, cx, cy, cz,  # per-particle raster meta (rasterize_global)
+    particle_rest_mass,
+    compact_support_radius,
+    grid: UniformGrid,
+    hsc: int,
+    reach: int,
+    h_over_cs: float,
+    backend: str,
+):
+    """(fv raster for sweep_global, per-particle rho) from the pair sweep.
+
+    Exact ONLY when no particle overflowed the raster slots (the caller
+    validates n_overflow == 0; overflowing frames take the legacy density).
+    """
+    dtype = fx.dtype
+    S, Xp, Yp, Zp = fx.shape
+    ncx, ncy, ncz = grid.n_cells
+    pad = hsc + 1
+    h = jnp.asarray(compact_support_radius, dtype)
+    cs = jnp.asarray(grid.cell_size, dtype)
+    m = jnp.asarray(particle_rest_mass, dtype)
+    sigma = 8.0 / (h * h * h)
+
+    if backend.startswith("pallas") and dtype == jnp.float32:
+        from splashsurf_tpu.ops.splat_pallas import pair_sweep_pallas
+
+        acc = pair_sweep_pallas(
+            fx, fy, fz, cs, h, reach, h_over_cs, pad, grid.n_cells,
+            interpret=(backend == "pallas_interpret"),
+        )
+        acc4 = acc[:, :ncx, : ncy * Zp].reshape(S, ncx, ncy, Zp)[..., :ncz]
+    else:
+        acc4 = _pair_sweep_xla(
+            fx, fy, fz, grid, cs, h, reach, h_over_cs, pad
+        )
+
+    # fv = m / rho = 1 / (sigma * acc) on real slots, EXACTLY 0 on empty /
+    # pad slots (sweep_global's contract); empty-query lanes hold NaN/inf.
+    finite = jnp.isfinite(acc4) & (acc4 > 0)
+    fv_inner = jnp.where(finite, 1.0 / (sigma * jnp.where(finite, acc4, 1.0)), 0.0)
+    fv = jnp.zeros((S, Xp, Yp, Zp), dtype)
+    fv = fv.at[:, pad : pad + ncx, pad : pad + ncy, pad : pad + ncz].set(
+        fv_inner
+    )
+
+    # per-particle rho readback (one gather)
+    acc_flat = acc4.reshape(-1)
+    src = ((jnp.clip(rank, 0, S - 1) * ncx + cx) * ncy + cy) * ncz + cz
+    src = jnp.where(ok, src, 0)
+    rho = jnp.where(ok, m * sigma * acc_flat[src], 0.0)
+    return fv, rho
 
 
 @functools.partial(

@@ -332,6 +332,155 @@ def _offsets(hsc: int, margin: int) -> np.ndarray:
     return gather_cell_offsets(hsc) + (margin + 1)  # padded slice starts
 
 
+@functools.lru_cache(maxsize=8)
+def pair_cell_offsets(reach: int, h_over_cs: float):
+    """Cell-to-cell offsets that can contain particle pairs within the
+    support radius: per-axis minimum distance max(|o|-1, 0) cells, pruned
+    to sum(dmin^2) <= (h/cs)^2 (+ rounding slack)."""
+    rng = np.arange(-reach, reach + 1, dtype=np.int32)
+    oi, oj, ok = np.meshgrid(rng, rng, rng, indexing="ij")
+    offs = np.stack([oi, oj, ok], axis=-1).reshape(-1, 3)
+    d = np.maximum(np.abs(offs) - 1, 0).astype(np.float64)
+    keep = (d ** 2).sum(axis=1) <= (h_over_cs * (1.0 + 1e-3)) ** 2
+    return tuple(map(tuple, offs[keep]))
+
+
+def pair_sweep_pallas(
+    fx, fy, fz,  # (S, Xp, Yp, Zp) padded CELL-fraction rasters (inf pads)
+    cell_size,  # traced scalar
+    compact_support_radius,  # traced scalar
+    reach: int,  # ceil(h / cs)
+    h_over_cs: float,  # static, for the offset-fan pruning only
+    pad: int,  # raster padding (hsc + 1 from rasterize_global), >= reach
+    n_cells,  # (ncx, ncy, ncz)
+    interpret: bool = False,
+):
+    """SPH pair sweep over the MC-CELL rasters: the per-(slot, cell)
+    unnormalized spline sums ``sum_q f(|dx|)/(4 pi)`` for every raster
+    entry, consumed directly as the level-set particle weights
+    (fv = mass / (sigma * acc)) with NO separate density stage.
+
+    Same register structure as density_sweep_pallas but over the cell
+    lattice with an R-reach pruned pair fan (~275 offsets at the default
+    h/cs = 8/3) instead of the support-bin 27-fan. Returns acc
+    (slots, n_x_tiles*TILE_X, Wout); query cell (s, cx, cy, cz) reads
+    ``acc[s, cx, cy*Zp + cz]`` (valid for cz < Zp - 2*pad; lanes whose
+    z-component wraps into the next y row are junk queries, never read).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, Xp, Yp, Zp = fx.shape
+    ncx, ncy, ncz = (int(v) for v in n_cells)
+    R = reach
+    assert pad >= R, (pad, R)
+    dtype = fx.dtype
+    TILE_X = DENSITY_TILE_X
+    n_tiles = -(-ncx // TILE_X)
+    win_x = -(-(TILE_X + 2 * R) // 8) * 8
+
+    QSTART = pad * Zp + pad
+    Wq = ncy * Zp  # query lanes: y in [0, ncy), z full rows (pads masked)
+    Wout = -(-Wq // 128) * 128
+    # lane bound: the widest window ends at QSTART + R*Zp + R + Wout
+    LANES = -(-(QSTART + R * Zp + R + Wout) // 128) * 128
+    # x bound: last tile's DMA reads rows up to (n_tiles-1)*TILE_X+(pad-R)+win_x
+    x_need = (n_tiles - 1) * TILE_X + (pad - R) + win_x
+    fl = []
+    for a, fill in ((fx, np.inf), (fy, np.inf), (fz, np.inf)):
+        a = a.reshape(S, Xp, Yp * Zp)
+        a = jnp.pad(
+            a,
+            ((0, 0), (0, max(x_need - Xp, 0)), (0, LANES - Yp * Zp)),
+            constant_values=fill,
+        )
+        fl.append(a)
+
+    fan = pair_cell_offsets(R, float(h_over_cs))
+    by_o0 = {}
+    for o0, o1, o2 in fan:
+        by_o0.setdefault(int(o0) + R, []).append((int(o1) + R, int(o2) + R))
+
+    inv4pi = 1.0 / (4.0 * math.pi)
+    params = jnp.stack(
+        [jnp.asarray(cell_size, dtype),
+         2.0 / jnp.asarray(compact_support_radius, dtype)]
+    ).reshape(1, 2)
+
+    def kernel(par, fxh, fyh, fzh, out_ref, sx, sy, sz, sems):
+        cs = par[0, 0]
+        two_over_h = par[0, 1]
+        t = pl.program_id(0)
+        x0 = t * TILE_X + (pad - R)
+        copies = []
+        for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh)):
+            dma = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(x0, win_x)], scr, sems.at[len(copies)]
+            )
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        SB = S * TILE_X
+        fq = [
+            s[:, R : R + TILE_X, QSTART : QSTART + Wout].reshape(SB, Wout)
+            for s in (sx, sy, sz)
+        ]
+        acc = jnp.zeros((SB, Wout), dtype)
+        for o0l, o12s in by_o0.items():
+            dx0 = (o0l - R) * cs
+            for kj in range(S):
+                rx = sx[kj, o0l : o0l + TILE_X, :]
+                ry = sy[kj, o0l : o0l + TILE_X, :]
+                rz = sz[kj, o0l : o0l + TILE_X, :]
+                for o1l, o2l in o12s:
+                    shift = QSTART + (o1l - R) * Zp + (o2l - R)
+
+                    def bc(w):
+                        return jnp.broadcast_to(
+                            w[None], (S, TILE_X, Wout)
+                        ).reshape(SB, Wout)
+
+                    dx = fq[0] - bc(rx[:, shift : shift + Wout] + dx0)
+                    dy = fq[1] - bc(
+                        ry[:, shift : shift + Wout] + ((o1l - R) * cs)
+                    )
+                    dz = fq[2] - bc(
+                        rz[:, shift : shift + Wout] + ((o2l - R) * cs)
+                    )
+                    d2 = dx * dx + dy * dy + dz * dz
+                    q = jnp.sqrt(d2) * two_over_h
+                    a = jnp.maximum(2.0 - q, 0.0)
+                    b = jnp.maximum(1.0 - q, 0.0)
+                    acc = acc + (a * a * a - 4.0 * (b * b * b))
+        out_ref[...] = acc.reshape(S, TILE_X, Wout) * inv4pi
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (S, TILE_X, Wout), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, n_tiles * TILE_X, Wout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, win_x, LANES), dtype),
+            pltpu.VMEM((S, win_x, LANES), dtype),
+            pltpu.VMEM((S, win_x, LANES), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(params, *fl)
+    return out
+
+
 def splat_sweep_pallas(
     fx, fy, fz, fv,  # (C, S, Rp, Rp, Rp): frac components + values, padded
     cell_size: float,

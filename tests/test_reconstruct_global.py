@@ -160,6 +160,85 @@ class TestSplatEquivalence:
             assert np.array_equal(a, b, equal_nan=True)
 
 
+class TestCellRasterDensity:
+    """Cell-raster density fast path (rho from the level-set rasters, no
+    separate density stage): must match the legacy path's mesh topology
+    exactly and rho/vertices to float tolerance, and fall back cleanly on
+    raster slot overflow."""
+
+    def _scene(self, seed=0, n=12):
+        rng = np.random.default_rng(seed)
+        r = 0.025
+        pts = (
+            np.mgrid[0:n, 0:n, 0:n].reshape(3, -1).T * 2 * r
+            + rng.uniform(-0.25, 0.25, (n ** 3, 3)) * 2 * r
+        ).astype(np.float32)
+        return pts, st.Parameters.new_relative(r, 4.0, 1.5)
+
+    def test_matches_legacy_warm_frame(self, monkeypatch):
+        import jax
+
+        from splashsurf_tpu import reconstruction as R
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        pts, params = self._scene()
+        f0 = jax.device_put(pts)
+        f1 = jax.device_put(pts + np.float32(1e-5))
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_CELLRASTER", "0")
+        st.reconstruct_surface(f0, params)  # planning frame
+        recA = st.reconstruct_surface(f1, params)
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_CELLRASTER", "1cpu")
+        recB = st.reconstruct_surface(f1, params)
+        assert recA.mesh.num_vertices == recB.mesh.num_vertices
+        assert recA.mesh.num_triangles == recB.mesh.num_triangles
+        np.testing.assert_allclose(
+            np.asarray(recB.particle_densities),
+            np.asarray(recA.particle_densities),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(recB.mesh.vertices),
+            np.asarray(recA.mesh.vertices),
+            atol=1e-5,
+        )
+        assert (
+            check_mesh_consistency(recB.mesh.vertices, recB.mesh.triangles)
+            is None
+        )
+
+    def test_overflow_scene_falls_back(self, monkeypatch):
+        """A clump that overflows the 2 raster slots must invalidate the
+        cell-raster frame (deferred n_overflow check) and reproduce the
+        legacy result via the fallback."""
+        import jax
+
+        pts, params = self._scene(seed=3)
+        f0 = jax.device_put(pts)
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_CELLRASTER", "1cpu")
+        st.reconstruct_surface(f0, params)  # planning (legacy, fits ocap=0)
+        # clumped warm frame: >2 particles in one cell -> overflow appears
+        rng = np.random.default_rng(7)
+        clump = (
+            pts[100][None, :]
+            + rng.uniform(-0.2, 0.2, (6, 3)).astype(np.float32) * 0.025
+        )
+        fc = jax.device_put(
+            np.concatenate([pts[: len(pts) - 6], clump]).astype(np.float32)
+        )
+        recB = st.reconstruct_surface(fc, params)
+        monkeypatch.setenv("SPLASHSURF_TPU_DENSITY_CELLRASTER", "0")
+        from splashsurf_tpu import neighbors as N
+
+        N.clear_density_plan()
+        recA = st.reconstruct_surface(fc, params)
+        assert recA.mesh.num_triangles == recB.mesh.num_triangles
+        np.testing.assert_allclose(
+            np.asarray(recB.mesh.vertices),
+            np.asarray(recA.mesh.vertices),
+            atol=1e-5,
+        )
+
+
 class TestSimpleCases:
     def test_single_particle_octahedron(self):
         # One particle; choose the cube size so exactly one grid point lies
