@@ -368,7 +368,12 @@ def reconstruct_surface_global(
 
     okey = (grid.n_points, int(positions.shape[0]))
     on_tpu = jax.default_backend() == "tpu"
-    cr_env = os.environ.get("SPLASHSURF_TPU_DENSITY_CELLRASTER", "1")
+    # Default OFF: the r4 TPU A/B measured it perf-NEUTRAL vs the geoslot
+    # default (0.408 vs 0.401 s best at 2M — the 3x-candidate cell-pair fan
+    # costs what the standalone stage saved) while its Mosaic compile takes
+    # ~23 min per new grid shape. Kept as a tested alternative formulation
+    # ("1" on TPU, "1cpu" to force the portable path in tests).
+    cr_env = os.environ.get("SPLASHSURF_TPU_DENSITY_CELLRASTER", "0")
     use_cellrast = (
         cr_env != "0"
         and (on_tpu or cr_env == "1cpu")

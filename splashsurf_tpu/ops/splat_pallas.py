@@ -377,23 +377,40 @@ def pair_sweep_pallas(
     dtype = fx.dtype
     TILE_X = DENSITY_TILE_X
     n_tiles = -(-ncx // TILE_X)
-    win_x = -(-(TILE_X + 2 * R) // 8) * 8
+    # DMA starts must be 8-sublane aligned: read from the tile start (x0 =
+    # t*TILE_X, aligned) and cover the full reach [pad-R, pad+TILE_X+R)
+    # in-window; unaligned slicing of LOADED values is legal.
+    win_x = -(-(pad + TILE_X + R) // 8) * 8
 
     QSTART = pad * Zp + pad
     Wq = ncy * Zp  # query lanes: y in [0, ncy), z full rows (pads masked)
-    Wout = -(-Wq // 128) * 128
-    # lane bound: the widest window ends at QSTART + R*Zp + R + Wout
-    LANES = -(-(QSTART + R * Zp + R + Wout) // 128) * 128
-    # x bound: last tile's DMA reads rows up to (n_tiles-1)*TILE_X+(pad-R)+win_x
-    x_need = (n_tiles - 1) * TILE_X + (pad - R) + win_x
+    # Lane tiling: Mosaic compile time scales with unrolled blocks x
+    # vregs/op — the ~275-offset pair fan on a full-width (SB, 19k-lane)
+    # accumulator exceeded a 60-minute compile; (SB, 2048) tiles bring
+    # vregs/op from ~300 to 32 and the compile to minutes, at ~1.5x lane
+    # DMA overlap between neighboring tiles.
+    WT = 2048
+    n_wt = -(-Wq // WT)
+    Wout = n_wt * WT
+    # per-w-tile DMA window: 128-aligned start C0 + wt*WT, static in-window
+    # query offset q_off = QSTART - C0
+    C0 = max((QSTART - R * Zp - R) // 128 * 128, 0)
+    q_off = QSTART - C0
+    W_LOAD = -(-(q_off + R * Zp + R + WT) // 128) * 128
+    LANES = C0 + (n_wt - 1) * WT + W_LOAD
+    x_need = (n_tiles - 1) * TILE_X + win_x
     fl = []
     for a, fill in ((fx, np.inf), (fy, np.inf), (fz, np.inf)):
         a = a.reshape(S, Xp, Yp * Zp)
-        a = jnp.pad(
-            a,
-            ((0, 0), (0, max(x_need - Xp, 0)), (0, LANES - Yp * Zp)),
-            constant_values=fill,
-        )
+        if LANES > Yp * Zp or x_need > Xp:
+            a = jnp.pad(
+                a,
+                ((0, 0), (0, max(x_need - Xp, 0)),
+                 (0, max(LANES - Yp * Zp, 0))),
+                constant_values=fill,
+            )
+        if LANES < a.shape[2]:
+            a = a[:, :, :LANES]
         fl.append(a)
 
     fan = pair_cell_offsets(R, float(h_over_cs))
@@ -411,11 +428,15 @@ def pair_sweep_pallas(
         cs = par[0, 0]
         two_over_h = par[0, 1]
         t = pl.program_id(0)
-        x0 = t * TILE_X + (pad - R)
+        wt = pl.program_id(1)
+        x0 = t * TILE_X  # 8-aligned DMA start
+        l0 = C0 + wt * WT  # 128-aligned lane start (WT % 128 == 0)
         copies = []
         for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh)):
             dma = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(x0, win_x)], scr, sems.at[len(copies)]
+                hbm.at[:, pl.ds(x0, win_x), pl.ds(l0, W_LOAD)],
+                scr,
+                sems.at[len(copies)],
             )
             dma.start()
             copies.append(dma)
@@ -424,51 +445,52 @@ def pair_sweep_pallas(
 
         SB = S * TILE_X
         fq = [
-            s[:, R : R + TILE_X, QSTART : QSTART + Wout].reshape(SB, Wout)
+            s[:, pad : pad + TILE_X, q_off : q_off + WT].reshape(SB, WT)
             for s in (sx, sy, sz)
         ]
-        acc = jnp.zeros((SB, Wout), dtype)
+        acc = jnp.zeros((SB, WT), dtype)
         for o0l, o12s in by_o0.items():
             dx0 = (o0l - R) * cs
+            x_off = pad - R + o0l
             for kj in range(S):
-                rx = sx[kj, o0l : o0l + TILE_X, :]
-                ry = sy[kj, o0l : o0l + TILE_X, :]
-                rz = sz[kj, o0l : o0l + TILE_X, :]
+                rx = sx[kj, x_off : x_off + TILE_X, :]
+                ry = sy[kj, x_off : x_off + TILE_X, :]
+                rz = sz[kj, x_off : x_off + TILE_X, :]
                 for o1l, o2l in o12s:
-                    shift = QSTART + (o1l - R) * Zp + (o2l - R)
+                    shift = q_off + (o1l - R) * Zp + (o2l - R)
 
                     def bc(w):
                         return jnp.broadcast_to(
-                            w[None], (S, TILE_X, Wout)
-                        ).reshape(SB, Wout)
+                            w[None], (S, TILE_X, WT)
+                        ).reshape(SB, WT)
 
-                    dx = fq[0] - bc(rx[:, shift : shift + Wout] + dx0)
+                    dx = fq[0] - bc(rx[:, shift : shift + WT] + dx0)
                     dy = fq[1] - bc(
-                        ry[:, shift : shift + Wout] + ((o1l - R) * cs)
+                        ry[:, shift : shift + WT] + ((o1l - R) * cs)
                     )
                     dz = fq[2] - bc(
-                        rz[:, shift : shift + Wout] + ((o2l - R) * cs)
+                        rz[:, shift : shift + WT] + ((o2l - R) * cs)
                     )
                     d2 = dx * dx + dy * dy + dz * dz
                     q = jnp.sqrt(d2) * two_over_h
                     a = jnp.maximum(2.0 - q, 0.0)
                     b = jnp.maximum(1.0 - q, 0.0)
                     acc = acc + (a * a * a - 4.0 * (b * b * b))
-        out_ref[...] = acc.reshape(S, TILE_X, Wout) * inv4pi
+        out_ref[...] = acc.reshape(S, TILE_X, WT) * inv4pi
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_wt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=pl.BlockSpec(
-            (S, TILE_X, Wout), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            (S, TILE_X, WT), lambda t, wt: (0, t, wt), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, n_tiles * TILE_X, Wout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((S, win_x, LANES), dtype),
-            pltpu.VMEM((S, win_x, LANES), dtype),
-            pltpu.VMEM((S, win_x, LANES), dtype),
+            pltpu.VMEM((S, win_x, W_LOAD), dtype),
+            pltpu.VMEM((S, win_x, W_LOAD), dtype),
+            pltpu.VMEM((S, win_x, W_LOAD), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=(
