@@ -112,9 +112,9 @@ def sweep_global_pallas(
         for s in range(S):
             for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh), (sv, fvh)):
                 dma = pltpu.make_async_copy(
-                    hbm.at[s, pl.ds(r_hbm, R)],
-                    scr.at[s],
-                    sems.at[len(copies)],
+                    hbm.at[np.int32(s), pl.ds(r_hbm, R)],
+                    scr.at[np.int32(s)],
+                    sems.at[np.int32(len(copies))],
                 )
                 dma.start()
                 copies.append(dma)
@@ -254,7 +254,7 @@ def density_sweep_pallas(
         copies = []
         for scr, hbm in ((sx, fxh), (sy, fyh), (sz, fzh)):
             dma = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(x0, win_x)], scr, sems.at[len(copies)]
+                hbm.at[:, pl.ds(x0, win_x)], scr, sems.at[np.int32(len(copies))]
             )
             dma.start()
             copies.append(dma)
@@ -436,7 +436,7 @@ def pair_sweep_pallas(
             dma = pltpu.make_async_copy(
                 hbm.at[:, pl.ds(x0, win_x), pl.ds(l0, W_LOAD)],
                 scr,
-                sems.at[len(copies)],
+                sems.at[np.int32(len(copies))],
             )
             dma.start()
             copies.append(dma)
@@ -557,9 +557,9 @@ def splat_sweep_pallas(
         for s in range(S):
             for scratch, hbm in ((sx, fx_hbm), (sy, fy_hbm), (sz, fz_hbm), (sv, fv_hbm)):
                 dma = pltpu.make_async_copy(
-                    hbm.at[c, s, pl.ds(x0, win_x)],
-                    scratch.at[s],
-                    sems.at[len(copies)],
+                    hbm.at[c, np.int32(s), pl.ds(x0, win_x)],
+                    scratch.at[np.int32(s)],
+                    sems.at[np.int32(len(copies))],
                 )
                 dma.start()
                 copies.append(dma)
