@@ -154,7 +154,7 @@ def sweep_global_pallas(
                     if o2 + Zo <= Zp:
                         lwin = lambda v: v[:, o2 : o2 + Zo]
                     else:
-                        lwin = lambda v: pltpu.roll(v, Zp - o2, 1)[:, :Zo]
+                        lwin = lambda v: pltpu.roll(v, np.int32(Zp - o2), 1)[:, :Zo]
                     wz = lwin(vz1) + ((o2 - p) * cs)
                     d2 = lwin(A) + wz * wz
                     q = jnp.sqrt(d2) * (2.0 / h)
@@ -176,7 +176,7 @@ def sweep_global_pallas(
         grid=(PX, n_yt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, Y_BLK, Zo), lambda x, yt: (x, yt, 0), memory_space=pltpu.VMEM
+            (1, Y_BLK, Zo), lambda x, yt: (x, yt, np.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((PX, n_yt * Y_BLK, Zo), dtype),
         scratch_shapes=[
@@ -304,10 +304,16 @@ def density_sweep_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2),
+                lambda t: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        ]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=pl.BlockSpec(
-            (slots, TILE_X, Wout), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            (slots, TILE_X, Wout), lambda t: (np.int32(0), t, np.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((slots, n_tiles * TILE_X, Wout), dtype),
         scratch_shapes=[
@@ -481,10 +487,16 @@ def pair_sweep_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_wt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2),
+                lambda t, wt: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        ]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=pl.BlockSpec(
-            (S, TILE_X, WT), lambda t, wt: (0, t, wt), memory_space=pltpu.VMEM
+            (S, TILE_X, WT), lambda t, wt: (np.int32(0), t, wt), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, n_tiles * TILE_X, Wout), dtype),
         scratch_shapes=[
@@ -598,7 +610,7 @@ def splat_sweep_pallas(
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, TILE_X, width), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
+            (1, TILE_X, width), lambda c, t: (c, t, np.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((C, n_tiles * TILE_X, width), dtype),
         scratch_shapes=[

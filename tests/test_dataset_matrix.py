@@ -27,6 +27,9 @@ import splashsurf_tpu as st
 from splashsurf_tpu.io import particles_from_file
 from splashsurf_tpu.mesh import check_mesh_consistency
 
+# full tier: the dataset x strategy matrix alone exceeds 25 min on this host
+pytestmark = pytest.mark.full
+
 GOLDEN_FILE = os.path.join(os.path.dirname(__file__), "goldens", "dataset_matrix.json")
 
 # (fixture, radius, rel_support, rel_cube, iso, strategies, band, aabb)

@@ -24,6 +24,7 @@ def _global_params(radius, rel_support, rel_cube, threshold=0.6):
 
 
 class TestSplatEquivalence:
+    @pytest.mark.full
     def test_global_sweep_pallas_interpret_matches_scan(self, rng):
         # The TPU plane-sweep kernel must agree with the portable scan
         # backend (the only way to exercise it off-TPU).
@@ -206,6 +207,7 @@ class TestCellRasterDensity:
             is None
         )
 
+    @pytest.mark.full
     def test_overflow_scene_falls_back(self, monkeypatch):
         """A clump that overflows the 2 raster slots must invalidate the
         cell-raster frame (deferred n_overflow check) and reproduce the
@@ -307,6 +309,7 @@ class TestDamBreak:
         assert np.all(rec.mesh.vertices.max(axis=0) >= pts.max(axis=0))
 
 
+@pytest.mark.full
 class TestDatasetMatrix:
     """test_full.rs dataset x band matrix (subset that runs quickly on CPU)."""
 

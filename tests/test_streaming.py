@@ -71,6 +71,7 @@ class TestStreamingBitIdentity:
         m0, m1 = _run_both(_block(seed=2), monkeypatch, raster_threshold=0)
         _assert_bitwise(m0, m1)
 
+    @pytest.mark.full
     def test_mixed_occupancy_buckets(self, monkeypatch):
         """A dense clump alongside a sparse sheet produces multiple K
         buckets and heterogeneous id-ordered groups in pass 1."""
@@ -82,6 +83,7 @@ class TestStreamingBitIdentity:
         m0, m1 = _run_both(pts, monkeypatch)
         _assert_bitwise(m0, m1)
 
+    @pytest.mark.full
     def test_overflow_forces_scatter_retry(self, monkeypatch):
         """>256 particles in one MC cell exceed the raster overflow budget:
         pass 1 must restart with the offending chunks on the exact scatter
@@ -108,6 +110,7 @@ class TestStreamingBitIdentity:
         )
         assert check_mesh_consistency(m1.vertices, m1.triangles) is None
 
+    @pytest.mark.full
     def test_count_padding_dummies(self, monkeypatch):
         pts = _block(seed=7)
         params = _params()

@@ -102,6 +102,7 @@ class TestEquivalence:
         d, _ = cKDTree(rec_s.mesh.vertices).query(rec_r.mesh.vertices)
         assert d.max() < 1e-5
 
+    @pytest.mark.full
     def test_chunk_size_invariance(self, cube_cloud):
         p = _params(n_sub=16)
         grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
@@ -111,6 +112,7 @@ class TestEquivalence:
         assert rec_a.mesh.num_triangles == rec_b.mesh.num_triangles
 
 
+@pytest.mark.full
 class TestDamBreakSubdomains:
     def test_closed_manifold_with_decomposition(self, data_dir):
         pts, _ = particles_from_vtk(
@@ -145,6 +147,7 @@ class TestAutoDisable:
             st.reconstruct_surface(np.zeros((1, 3), np.float32), p)
 
 
+@pytest.mark.full
 class TestPallasKernel:
     def test_pallas_interpret_matches_scan(self, cube_cloud):
         """The Pallas splat kernel (interpret mode) must match the XLA scan
