@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -1016,13 +1017,37 @@ def compute_particle_densities_geoslot(
     no_collision = ~jnp.any(cme > 1)
 
     rdest = jnp.where(ok, dest, total)
-    rasters = [
-        jnp.full((total,), jnp.inf, dtype)
-        .at[rdest]
-        .set(frac[d], mode="drop", unique_indices=True)
-        .reshape(8, Xp, Yp, Zp)
-        for d in range(3)
-    ]
+    if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+        # Scatter cost is per update row (~6 ms/M rows at 2M): pack two
+        # frac components into one complex scatter (real/imag extraction is
+        # exact, so results stay bit-identical). 3 scatters -> 2.
+        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        packed = (
+            jnp.full((total,), complex(np.inf, np.inf), cdt)
+            .at[rdest]
+            .set(
+                jax.lax.complex(frac[0], frac[1]),
+                mode="drop",
+                unique_indices=True,
+            )
+            .reshape(8, Xp, Yp, Zp)
+        )
+        rasters = [
+            jnp.real(packed),
+            jnp.imag(packed),
+            jnp.full((total,), jnp.inf, dtype)
+            .at[rdest]
+            .set(frac[2], mode="drop", unique_indices=True)
+            .reshape(8, Xp, Yp, Zp),
+        ]
+    else:
+        rasters = [
+            jnp.full((total,), jnp.inf, dtype)
+            .at[rdest]
+            .set(frac[d], mode="drop", unique_indices=True)
+            .reshape(8, Xp, Yp, Zp)
+            for d in range(3)
+        ]
     acc_flat, width = _sweep_dispatch(
         rasters, 8, LX, Yp, Zp, bs, h, backend, dtype
     )

@@ -172,12 +172,36 @@ def rasterize_global(
             .reshape(slots, Xp, Yp, Zp)
         )
 
-    fx = raster(frac[0], jnp.inf)
-    fy = raster(frac[1], jnp.inf)
-    fz = raster(frac[2], jnp.inf)
-    # with_meta (the cell-raster density path) derives the value raster
-    # from the pair sweep instead — skip its 1-per-particle scatter
-    fv = None if with_meta else raster(values, 0.0)
+    if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+        # Scatter cost on TPU is per update ROW (~6 ms/M rows), not per
+        # byte: packing two f32 components into one complex scatter halves
+        # the raster's scatter rows, and real/imag extraction afterwards is
+        # an exact (bit-identical) cheap HBM pass. 4 scatters -> 2.
+        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+        def raster2(ca, cb, fill_a, fill_b):
+            packed = (
+                jnp.full((total,), complex(fill_a, fill_b), cdt)
+                .at[dest]
+                .set(jax.lax.complex(ca, cb), mode="drop", unique_indices=True)
+                .reshape(slots, Xp, Yp, Zp)
+            )
+            return jnp.real(packed), jnp.imag(packed)
+
+        fx, fy = raster2(frac[0], frac[1], np.inf, np.inf)
+        if with_meta:
+            # cell-raster density path: no value raster (rho comes from the
+            # pair sweep), so fz rides alone
+            fz, fv = raster(frac[2], jnp.inf), None
+        else:
+            fz, fv = raster2(frac[2], values, np.inf, 0.0)
+    else:
+        fx = raster(frac[0], jnp.inf)
+        fy = raster(frac[1], jnp.inf)
+        fz = raster(frac[2], jnp.inf)
+        # with_meta (the cell-raster density path) derives the value raster
+        # from the pair sweep instead — skip its 1-per-particle scatter
+        fv = None if with_meta else raster(values, 0.0)
 
     # overflow compaction
     over = valid & (rank >= slots)

@@ -1835,21 +1835,33 @@ def reconstruct_surface_subdomain_grid(
             # scanned packs are already stacked (G, cap) on device
             stacked = [scanned_mc[k] for k in range(9)]
             t_counts = scanned_mc[10]
+            if _PROFILE_SYNC:
+                # split the wall: the deferred MC scan lands here (async
+                # dispatch above), then the stitch, then the two pulls
+                with profile("stitch: mc scan execute"):
+                    jax.block_until_ready(stacked)
             v_out_cap = _bucket16(int(nv_all.sum()), lo=1024)
             t_out_cap = _bucket16(int(nt_all.sum()), lo=1024)
             bnd_cap = _bucket16(int(nb_all.sum()), lo=1024)
-            s = _stitch_device(
-                *stacked, t_counts, v_out_cap, t_out_cap, bnd_cap
-            )
-            total_v, total_t = (int(x) for x in jax.device_get((s[6], s[7])))
+            with profile("stitch: dedup+remap"):
+                s = _stitch_device(
+                    *stacked, t_counts, v_out_cap, t_out_cap, bnd_cap
+                )
+                total_v, total_t = (
+                    int(x) for x in jax.device_get((s[6], s[7]))
+                )
             tv = min(v_out_cap, _bucket16(total_v))
             tt = min(t_out_cap, _bucket16(total_t))
-            pv, pt = _pack_mesh_sub(*s[:6], nv=tv, nt=tt)
-            pv, pt = jax.device_get((pv, pt))
-            mesh = TriMesh3d(
-                vertices=np.ascontiguousarray(pv.T[:total_v]),
-                triangles=np.ascontiguousarray(pt.T[:total_t]).astype(np.int32),
-            )
+            with profile("stitch: mesh pull"):
+                pv, pt = _pack_mesh_sub(*s[:6], nv=tv, nt=tt)
+                pv, pt = jax.device_get((pv, pt))
+            with profile("stitch: host assemble"):
+                mesh = TriMesh3d(
+                    vertices=np.ascontiguousarray(pv.T[:total_v]),
+                    triangles=np.ascontiguousarray(pt.T[:total_t]).astype(
+                        np.int32
+                    ),
+                )
 
     particle_neighbors = None
     if parameters.global_neighborhood_list:

@@ -125,7 +125,12 @@ class TestSplatEquivalence:
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
 
     @pytest.mark.parametrize(
-        "flag", ["SPLASHSURF_TPU_RASTER_SORTFREE", "SPLASHSURF_TPU_MXU_CUMSUM"]
+        "flag",
+        [
+            "SPLASHSURF_TPU_RASTER_SORTFREE",
+            "SPLASHSURF_TPU_MXU_CUMSUM",
+            "SPLASHSURF_TPU_PACK_SCATTER",
+        ],
     )
     def test_raster_env_fallbacks_bit_identical(self, rng, flag, monkeypatch):
         """The legacy sorted-rank / VPU-cumsum branches must stay live and
@@ -159,6 +164,35 @@ class TestSplatEquivalence:
         off = run()
         for a, b in zip(on, off):
             assert np.array_equal(a, b, equal_nan=True)
+
+    def test_geoslot_pack_scatter_bit_identical(self, rng, monkeypatch):
+        """The complex-packed frac scatter in the geoslot density path must
+        stay bit-identical to the plain 3-scatter formulation."""
+        from splashsurf_tpu import neighbors as N
+
+        r = 0.025
+        pts = (
+            np.mgrid[0:10, 0:10, 0:10].reshape(3, -1).T * 2 * r
+        ).astype(np.float32)
+        pts += rng.uniform(-0.2 * r, 0.2 * r, pts.shape).astype(np.float32)
+        support = 4 * r
+        phases = np.asarray(N._octant_phase(pts, support / 2.0))
+        grid = N._phase_aligned_bingrid(
+            pts.min(0), pts.max(0), support, phases
+        )
+
+        def run():
+            rho, ok = N.compute_particle_densities_geoslot(
+                pts, grid, support, 1.0
+            )
+            assert bool(ok)
+            return np.asarray(rho)
+
+        monkeypatch.setenv("SPLASHSURF_TPU_PACK_SCATTER", "1")
+        on = run()
+        monkeypatch.setenv("SPLASHSURF_TPU_PACK_SCATTER", "0")
+        off = run()
+        assert np.array_equal(on, off)
 
 
 class TestCellRasterDensity:
