@@ -147,7 +147,11 @@ def _try_warm_frame(
     nv_b, nc_b = pull_plan
     if nv_b > vcap or nc_b > tcap:
         return None
-    backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    backend = (
+        "pallas"
+        if jax.default_backend() == "tpu" and dtype == "float32"
+        else "scan"
+    )
     okey = (grid.n_points, int(positions.shape[0]))
     ofc = gs._OVER_PLAN.get(okey)
     if ofc is None:
@@ -254,8 +258,11 @@ def _cellrast_frame(
     reach = int(math.ceil(csr / grid.cell_size - 1e-9))
     h_over_cs = csr / grid.cell_size
     on_tpu = jax.default_backend() == "tpu"
-    backend = "pallas" if on_tpu else "scan"
-    dens_backend = "pallas" if on_tpu else "xla"
+    # f64 pallas_calls break the TPU X64 rewriter — double precision rides
+    # the XLA formulations (see gs.reconstruct_global_dense)
+    f32 = dtype == jnp.float32
+    backend = "pallas" if (on_tpu and f32) else "scan"
+    dens_backend = "pallas" if (on_tpu and f32) else "xla"
     sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
 
     def _sync(x):

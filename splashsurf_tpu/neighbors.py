@@ -1012,9 +1012,17 @@ def compute_particle_densities_geoslot(
         total,
     )
     counts = jnp.zeros((total,), jnp.int32).at[dest].add(1, mode="drop")
-    cme = jnp.where(valid, counts[jnp.minimum(dest, total - 1)], 0)
-    ok = valid & (cme == 1)
-    no_collision = ~jnp.any(cme > 1)
+    # Collision detect on the TABLE side (one VPU reduction over the slot
+    # table, ~56 MB at 900 GB/s) instead of a per-particle count gather
+    # (~13 ms at 2M — a full scatter-equivalent row pass). On accepted
+    # frames every valid particle's slot count is exactly 1, so masking the
+    # frac scatters by ``valid`` alone is bit-identical to the old
+    # ``cme == 1`` mask; on COLLISION frames the frac scatters see
+    # duplicate destinations (unique_indices becomes a lie -> unspecified
+    # slot values), but the frame is discarded via ``no_collision`` (which
+    # depends only on ``counts``, so the flag itself stays deterministic).
+    no_collision = ~jnp.any(counts > 1)
+    ok = valid
 
     rdest = jnp.where(ok, dest, total)
     if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":

@@ -1084,7 +1084,15 @@ def reconstruct_global_dense(
     positions = jnp.asarray(positions)
     n = positions.shape[0]
     if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # f64 must NOT route to Pallas: the TPU X64 rewriter cannot rewrite
+        # f64 pallas_call custom-calls (remote compile HTTP 500, measured on
+        # the f64 smoke) — double precision takes the XLA scan sweep.
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and positions.dtype == jnp.float32
+            else "scan"
+        )
     okey = (grid.n_points, int(n))
     ocap = _OVER_PLAN.get(okey)
     if ocap is None:

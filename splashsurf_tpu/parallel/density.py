@@ -28,6 +28,7 @@ than bitwise; tests/test_parallel_density.py covers both regimes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -371,20 +372,47 @@ def _density_fn_geoslot(mesh: Mesh, grid: BinGrid, D: int, slab_w: int, C: int):
             total,
         )
         counts = jnp.zeros((total,), jnp.int32).at[dest].add(1, mode="drop")
-        cme = jnp.where(in_slab, counts[jnp.minimum(dest, total - 1)], 0)
-        ok = in_slab & (cme == 1)
+        # Table-side collision check (mirrors the single-device geoslot
+        # path EXACTLY — see neighbors.compute_particle_densities_geoslot):
+        # on accepted frames every in-slab row's slot count is 1, so
+        # ``ok = in_slab`` is bit-identical; collision frames are discarded
+        # and the flag depends only on ``counts`` (deterministic).
+        ok = in_slab
         no_coll = (
-            jax.lax.psum(jnp.sum((cme > 1).astype(jnp.int32)), "sub") == 0
+            jax.lax.psum(jnp.sum((counts > 1).astype(jnp.int32)), "sub") == 0
         )
 
         rdest = jnp.where(ok, dest, total)
-        rasters = [
-            jnp.full((total,), jnp.inf, dtype)
-            .at[rdest]
-            .set(f, mode="drop", unique_indices=True)
-            .reshape(8, Xp, Yp, Zp)
-            for f in fracs
-        ]
+        if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+            # complex-packed frac scatter (3 -> 2 row passes), mirroring the
+            # single-device geoslot path; real/imag extraction is exact
+            cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+            packed = (
+                jnp.full((total,), complex(np.inf, np.inf), cdt)
+                .at[rdest]
+                .set(
+                    jax.lax.complex(fracs[0], fracs[1]),
+                    mode="drop",
+                    unique_indices=True,
+                )
+                .reshape(8, Xp, Yp, Zp)
+            )
+            rasters = [
+                jnp.real(packed),
+                jnp.imag(packed),
+                jnp.full((total,), jnp.inf, dtype)
+                .at[rdest]
+                .set(fracs[2], mode="drop", unique_indices=True)
+                .reshape(8, Xp, Yp, Zp),
+            ]
+        else:
+            rasters = [
+                jnp.full((total,), jnp.inf, dtype)
+                .at[rdest]
+                .set(f, mode="drop", unique_indices=True)
+                .reshape(8, Xp, Yp, Zp)
+                for f in fracs
+            ]
         acc = _raster_sweep_xla(rasters, LXl, Yp, Zp, bs, h)
         acc_flat = acc.reshape(-1)
         src = jnp.where(ok, (oct * LXl + lx_c) * W + rby * Zp + rbz, 0)

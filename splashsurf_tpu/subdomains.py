@@ -1421,9 +1421,10 @@ def reconstruct_surface_subdomain_grid(
     ).astype(np.int32)
 
     # Splat routing: the raster sweep (no scatters) is the TPU fast path;
-    # host/CPU runs default to the compile-fast scatter path.
+    # host/CPU runs default to the compile-fast scatter path. f64 must not
+    # route to Pallas (the TPU X64 rewriter rejects f64 pallas_calls).
     on_tpu = jax.default_backend() == "tpu"
-    unroll = "pallas" if on_tpu else False
+    unroll = "pallas" if (on_tpu and dtype == jnp.float32) else False
     if raster_threshold is None:
         threshold = 0 if on_tpu else (1 << 30)
     else:
