@@ -95,6 +95,20 @@ def load():
             i8p, i8p,  # edge_axis, edge_base
             f32p, i32p,  # verts_out, tris_out
         ]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.mc_decode_sub.restype = ctypes.c_int64
+        lib.mc_decode_sub.argtypes = [
+            f32p, ctypes.c_int64,  # t, total_v
+            u32p, ctypes.c_int64,  # packed, total_c
+            i32p, i32p, ctypes.c_int64,  # run_counts, run_base, n_runs
+            ctypes.c_int64,  # ns
+            ctypes.c_int64, ctypes.c_int64,  # NPY, NPZ
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i8p, ctypes.c_int64,  # tri_table, n_slots
+            u8p,  # tri_count
+            i8p, i8p,  # edge_axis, edge_base
+            f32p, i32p,  # verts_out, tris_out
+        ]
         _lib = lib
         return _lib
 
@@ -131,6 +145,47 @@ def mc_decode(t, points, words, total_v: int, total_t: int, total_c: int,
     if n != total_t:
         raise RuntimeError(
             f"native mc_decode inconsistency: wrote {n} of {total_t} triangles"
+        )
+    return verts[:total_v], tris[:total_t]
+
+
+def mc_decode_sub(t, packed, run_counts, run_base, total_v: int, total_t: int,
+                  ns: int, NPY: int, NPZ: int, grid_min, cell_size: float,
+                  quant_t: bool):
+    """Decode the subdomain-path OWNED-point encoded transfer into
+    (verts f32, tris i32). Returns None when the native library is
+    unavailable (caller falls back to the numpy decoder)."""
+    lib = load()
+    if lib is None:
+        return None
+    from splashsurf_tpu.mc import lut
+
+    t = np.asarray(t)
+    if quant_t:
+        t = t.astype(np.float32) * np.float32(1.0 / 65535.0)
+    t = np.ascontiguousarray(t, dtype=np.float32)
+    packed = np.ascontiguousarray(np.asarray(packed), dtype=np.uint32)
+    run_counts = np.ascontiguousarray(run_counts, dtype=np.int32)
+    run_base = np.ascontiguousarray(run_base, dtype=np.int32)
+    tri_table = np.ascontiguousarray(
+        np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0), dtype=np.int8
+    )
+    tri_count = np.ascontiguousarray(lut.TRI_COUNT, dtype=np.uint8)
+    edge_axis = np.ascontiguousarray(lut.EDGE_AXIS, dtype=np.int8)
+    edge_base = np.ascontiguousarray(lut.EDGE_BASE_OFFSET, dtype=np.int8)
+    verts = np.empty((max(total_v, 1), 3), np.float32)
+    tris = np.empty((max(total_t, 1), 3), np.int32)
+    n = lib.mc_decode_sub(
+        t, total_v, packed, packed.shape[0],
+        run_counts, run_base, run_counts.shape[0], ns, NPY, NPZ,
+        float(grid_min[0]), float(grid_min[1]), float(grid_min[2]),
+        float(cell_size),
+        tri_table, tri_table.shape[1], tri_count, edge_axis, edge_base,
+        verts, tris,
+    )
+    if n != total_t:
+        raise RuntimeError(
+            f"native mc_decode_sub inconsistency: wrote {n} of {total_t} triangles"
         )
     return verts[:total_v], tris[:total_t]
 

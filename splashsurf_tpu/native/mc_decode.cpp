@@ -15,8 +15,10 @@
 // Counterpart of the reference's triangulation.rs:23-57 walk, restructured
 // as flat array passes for a single weak host core.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -114,6 +116,120 @@ int64_t mc_decode(
         const int64_t base = (a == 0) ? 0 : (a == 1) ? base1 : base2;
         tris_out[to * 3 + corner] =
             (int32_t)(base + vidx[(int64_t)a * total_c + rank]);
+      }
+      ++to;
+    }
+  }
+  return to;
+}
+
+// Subdomain-path variant: decode the OWNED-point encoded transfer
+// (subdomains.chunk_mc_encode). The stream is ordered (chunk, subdomain,
+// local point); each slot packs local_id << 11 | case(8b) | edge bits(3b).
+// Global point ids are reconstructed from per-subdomain run counts + the
+// subdomain base coordinates, then neighbor lookups (a cell's far-face
+// edges are owned by neighbor subdomains' points) resolve through one
+// global sort + 7 two-pointer merges — the host-side analog of the
+// reference's stitching hashmap (dense_subdomains.rs:1603-1749), without
+// any duplicate-vertex dedup (ownership makes emissions unique).
+//
+// Returns the number of triangles written, or -1 on inconsistency.
+int64_t mc_decode_sub(
+    const float* t, int64_t total_v,
+    const uint32_t* packed, int64_t total_c,
+    const int32_t* run_counts, const int32_t* run_base, int64_t n_runs,
+    int64_t ns,
+    int64_t NPY, int64_t NPZ,
+    double mnx, double mny, double mnz, double cell_size,
+    const int8_t* tri_table, int64_t n_slots,
+    const uint8_t* tri_count,
+    const int8_t* edge_axis, const int8_t* edge_base,
+    float* verts_out, int32_t* tris_out) {
+  const float mnf[3] = {(float)mnx, (float)mny, (float)mnz};
+  const float csf = (float)cell_size;
+  const int64_t pzy = NPY * NPZ;
+  const int64_t ns2 = ns * ns;
+
+  // --- pass 1: global ids, vertex prefix, vertex positions ---------------
+  std::vector<int64_t> gflat(total_c);
+  std::vector<uint16_t> words(total_c);
+  std::vector<int32_t> pbase(total_c);
+  {
+    int64_t slot = 0, vo = 0;
+    for (int64_t r = 0; r < n_runs; ++r) {
+      const int64_t cnt = run_counts[r];
+      const int64_t bi = run_base[r * 3 + 0];
+      const int64_t bj = run_base[r * 3 + 1];
+      const int64_t bk = run_base[r * 3 + 2];
+      for (int64_t s = 0; s < cnt; ++s, ++slot) {
+        if (slot >= total_c) return -1;
+        const uint32_t pk = packed[slot];
+        const uint16_t w = (uint16_t)(pk & 0x7FF);
+        const int64_t local = pk >> 11;
+        const int64_t gi = bi + local / ns2;
+        const int64_t gj = bj + (local / ns) % ns;
+        const int64_t gk = bk + local % ns;
+        gflat[slot] = (gi * NPY + gj) * NPZ + gk;
+        words[slot] = w;
+        pbase[slot] = (int32_t)vo;
+        for (int a = 0; a < 3; ++a) {
+          if ((w >> (8 + a)) & 1) {
+            const float tv = t[vo];
+            float pos[3] = {mnf[0] + (float)gi * csf, mnf[1] + (float)gj * csf,
+                            mnf[2] + (float)gk * csf};
+            pos[a] += tv * csf;
+            verts_out[vo * 3 + 0] = pos[0];
+            verts_out[vo * 3 + 1] = pos[1];
+            verts_out[vo * 3 + 2] = pos[2];
+            ++vo;
+          }
+        }
+      }
+    }
+    if (slot != total_c || vo != total_v) return -1;
+  }
+
+  // --- pass 2: sort (gflat, slot) ----------------------------------------
+  std::vector<std::pair<int64_t, int32_t>> order(total_c);
+  for (int64_t i = 0; i < total_c; ++i) order[i] = {gflat[i], (int32_t)i};
+  std::sort(order.begin(), order.end());
+
+  // --- pass 3: neighbor slots via 7 two-pointer merges --------------------
+  std::vector<int32_t> nbr(7 * total_c);
+  for (int off = 1; off < 8; ++off) {
+    const int64_t di = (off >> 2) & 1, dj = (off >> 1) & 1, dk = off & 1;
+    const int64_t delta = di * pzy + dj * NPZ + dk;
+    int32_t* nb = nbr.data() + (int64_t)(off - 1) * total_c;
+    int64_t j = 0;
+    for (int64_t i = 0; i < total_c; ++i) {
+      const int64_t target = order[i].first + delta;
+      while (j < total_c && order[j].first < target) ++j;
+      nb[order[i].second] =
+          (j < total_c && order[j].first == target) ? order[j].second : -1;
+    }
+  }
+
+  // --- pass 4: triangles in stream order ----------------------------------
+  int64_t to = 0;
+  for (int64_t i = 0; i < total_c; ++i) {
+    const int c = words[i] & 0xFF;
+    const int cnt = tri_count[c];
+    for (int s = 0; s < cnt; ++s) {
+      for (int corner = 0; corner < 3; ++corner) {
+        const int local = tri_table[((int64_t)c * n_slots + s) * 3 + corner];
+        const int a = edge_axis[local];
+        const int di = edge_base[local * 3 + 0];
+        const int dj = edge_base[local * 3 + 1];
+        const int dk = edge_base[local * 3 + 2];
+        const int off = di * 4 + dj * 2 + dk;
+        const int32_t nslot =
+            off == 0 ? (int32_t)i : nbr[(int64_t)(off - 1) * total_c + i];
+        if (nslot < 0) return -1;
+        const uint16_t w = words[nslot];
+        if (((w >> (8 + a)) & 1) == 0) return -1;
+        int below = 0;
+        for (int b = 0; b < a; ++b) below += (w >> (8 + b)) & 1;
+        tris_out[to * 3 + corner] = pbase[nslot] + below;
       }
       ++to;
     }

@@ -1025,11 +1025,15 @@ def compute_particle_densities_geoslot(
     ok = valid
 
     rdest = jnp.where(ok, dest, total)
-    if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+    if (
+        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+        and dtype == jnp.float32
+    ):
         # Scatter cost is per update row (~6 ms/M rows at 2M): pack two
         # frac components into one complex scatter (real/imag extraction is
-        # exact, so results stay bit-identical). 3 scatters -> 2.
-        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        # exact, so results stay bit-identical). 3 scatters -> 2. f32-only:
+        # the TPU X64 rewriter cannot rewrite complex128 HLOs.
+        cdt = jnp.complex64
         packed = (
             jnp.full((total,), complex(np.inf, np.inf), cdt)
             .at[rdest]

@@ -172,12 +172,17 @@ def rasterize_global(
             .reshape(slots, Xp, Yp, Zp)
         )
 
-    if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+    if (
+        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+        and dtype == jnp.float32
+    ):
         # Scatter cost on TPU is per update ROW (~6 ms/M rows), not per
         # byte: packing two f32 components into one complex scatter halves
         # the raster's scatter rows, and real/imag extraction afterwards is
         # an exact (bit-identical) cheap HBM pass. 4 scatters -> 2.
-        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        # f32-only: the TPU X64 rewriter cannot rewrite complex128 HLOs
+        # (RET_CHECK x64_rewriter.cc, measured on the f64 smoke r4_15c).
+        cdt = jnp.complex64
 
         def raster2(ca, cb, fill_a, fill_b):
             packed = (

@@ -383,10 +383,14 @@ def _density_fn_geoslot(mesh: Mesh, grid: BinGrid, D: int, slab_w: int, C: int):
         )
 
         rdest = jnp.where(ok, dest, total)
-        if os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1":
+        if (
+            os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+            and dtype == jnp.float32
+        ):
             # complex-packed frac scatter (3 -> 2 row passes), mirroring the
-            # single-device geoslot path; real/imag extraction is exact
-            cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+            # single-device geoslot path; real/imag extraction is exact.
+            # f32-only: the TPU X64 rewriter cannot rewrite complex128 HLOs.
+            cdt = jnp.complex64
             packed = (
                 jnp.full((total,), complex(np.inf, np.inf), cdt)
                 .at[rdest]

@@ -156,6 +156,51 @@ def sharded_mc_counts(mesh: Mesh, sd: SubdomainGridParams):
     )
 
 
+def sharded_mc_counts_encoded(mesh: Mesh, sd: SubdomainGridParams):
+    from jax import shard_map
+
+    def local(ls, iso):
+        return sub_mod.chunk_mc_counts_encoded(ls, sd, iso)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P("sub"), P()),
+            out_specs=(P("sub"), P("sub"), P("sub")),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_scan_mc_encode(
+    mesh: Mesh, sd: SubdomainGridParams, pack_pc: int, pack_vc: int, quant_t: bool
+):
+    """Sharded encoded chunk MC: shard_map over the chunk axis with the
+    single-device scan body (subdomains._scan_chunk_mc_encode) — identical
+    per-chunk packs, so the compacted streams (and hence the decoded mesh)
+    are bit-identical to the single-device run."""
+    from jax import shard_map
+    from splashsurf_tpu.subdomains import _scan_chunk_mc_encode
+
+    def local(ls_ext, rows_mat, iso):
+        return _scan_chunk_mc_encode(
+            ls_ext, rows_mat, sd=sd, iso=iso,
+            pack_pc=pack_pc, pack_vc=pack_vc, quant_t=quant_t,
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(), P("sub"), P()),
+            out_specs=tuple([P("sub")] * 4),
+        )
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def sharded_chunk_mc(mesh: Mesh, sd: SubdomainGridParams, vcap_local: int, tcap_local: int):
     """jitted shard_map MC: each shard compacts its rows into its own pack

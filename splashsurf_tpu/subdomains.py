@@ -1230,6 +1230,431 @@ def _stitch_device(
 
 
 # ---------------------------------------------------------------------------
+# encoded mesh transfer (owned-point streams + host decode)
+# ---------------------------------------------------------------------------
+#
+# The stitch path above pulls the final mesh as raw floats: at the 8M sparse
+# bench that is ~335 MB over a ~25 MB/s host link (~13 s of transfer plus
+# ~40 s of host assembly) — the dominant frame cost. The encoded path below
+# ships the same compact point-word streams the dense global path uses
+# (ops/global_sweep.mc_global_cells(encode=True)): ~4 B per active point +
+# 2 B per vertex, decoded by native C++ (native/mc_decode.cpp:mc_decode_sub).
+#
+# The key structural idea that removes the stitch entirely: give every
+# global grid point ONE canonical owner subdomain. A point with local
+# coordinates (i, j, k) in a subdomain block is owned iff i, j, k < n_sub
+# (the far planes local == n_sub belong to the +1 neighbor as its local 0;
+# the global far boundary never has active edges because the grid carries a
+# full kernel-support margin — same assumption as the dense path). Owned
+# points cover exactly the subdomain's cell range, so each point's cell
+# case and +x/+y/+z origin-edge bits are computable entirely in-block, and
+# every global cell/edge is emitted by exactly one subdomain: no duplicate
+# vertices, no dedup, no sort. An active edge's owner is always present in
+# the stream: edge activity implies field >= iso within kernel support of
+# the owner point, hence particles inside the owner subdomain's ghost
+# margin, hence the owner is occupied (ref dense_subdomains.rs:1751-1906's
+# margin invariant, reused here as a completeness proof).
+#
+# Cross-subdomain triangle references (a cell's far-face edges are owned by
+# neighbor subdomains' points) resolve on the host against the global point
+# id — the canonical halo overwrite keeps the shared-plane level-set values
+# (and hence edge activity / t parameters) consistent across blocks.
+
+
+@functools.partial(jax.jit, static_argnames=("sd",))
+def chunk_mc_counts_encoded(ls, sd: SubdomainGridParams, iso):
+    """Per-block (active-point, owned-edge, triangle) counts for the encoded
+    transfer path: exact capacities AND exact stream totals (the pull needs
+    no extra device sync)."""
+    P = ls.shape[1]
+    ns = P - 1
+
+    def one(v):
+        inside = v >= iso
+        case = mc_dense._case_indices(inside)  # (ns, ns, ns)
+        ems = []
+        for a in range(3):
+            sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+            sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+            em = inside[sl0] != inside[sl1]
+            ems.append(em[tuple(slice(0, ns) for _ in range(3))])
+        has_case = (case != 0) & (case != 255)
+        active = has_case | ems[0] | ems[1] | ems[2]
+        ap = jnp.sum(active.astype(jnp.int32))
+        oe = (
+            jnp.sum(ems[0].astype(jnp.int32))
+            + jnp.sum(ems[1].astype(jnp.int32))
+            + jnp.sum(ems[2].astype(jnp.int32))
+        )
+        tc = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
+        return ap, oe, tc
+
+    return jax.vmap(one)(ls)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sd", "pack_point_capacity", "pack_vertex_capacity", "quant_t"),
+)
+def chunk_mc_encode(
+    ls,
+    sd: SubdomainGridParams,
+    iso,
+    pack_point_capacity: int,
+    pack_vertex_capacity: int,
+    quant_t: bool = False,
+):
+    """Encoded marching cubes over a chunk: compact OWNED active points.
+
+    Per owned point (local coords < n_sub on every axis) a packed u32 word
+    ``local_id << 11 | case(8b) | edge_bits(3b)`` is emitted (same 11-bit
+    word layout as the dense path's mc_global_cells), plus one edge
+    parameter t per owned active edge in (point, axis) order. Global ids
+    are NOT materialized on device — the host recovers them from the
+    per-subdomain run counts + sub_ijk (it has both already).
+
+    Returns (packed u32 (Ppc,), t (Pvc,), counts (C,), total_v) — counts
+    are per-subdomain active points in stream order.
+    """
+    dtype = ls.dtype
+    C, P = ls.shape[0], ls.shape[1]
+    ns = P - 1
+    n3 = ns * ns * ns
+    if n3 > (1 << 21):
+        raise ValueError("encoded transfer supports n_sub <= 128")
+    iso = jnp.asarray(iso, dtype)
+    inside = ls >= iso
+    ls_flat = ls.reshape(-1)
+
+    # owned-point word grid (C, ns, ns, ns)
+    case = jnp.zeros((C, ns, ns, ns), jnp.int32)
+    for c8 in range(8):
+        oi, oj, ok = (c8 >> 2) & 1, (c8 >> 1) & 1, c8 & 1
+        corner = inside[:, oi : oi + ns, oj : oj + ns, ok : ok + ns]
+        case = case | (corner.astype(jnp.int32) << c8)
+    word = jnp.where((case != 0) & (case != 255), case, 0)
+    own = (slice(None), slice(0, ns), slice(0, ns), slice(0, ns))
+    for a, bit in ((0, 8), (1, 9), (2, 10)):
+        sl0 = (slice(None),) + tuple(
+            slice(0, -1) if d == a else slice(None) for d in range(3)
+        )
+        sl1 = (slice(None),) + tuple(
+            slice(1, None) if d == a else slice(None) for d in range(3)
+        )
+        em = (inside[sl0] != inside[sl1])[own]
+        word = word | (em.astype(jnp.int32) << bit)
+
+    wflat = word.reshape(-1)  # (C * n3,)
+    active = wflat != 0
+    acum = jnp.cumsum(active.astype(jnp.int32))
+    dest = jnp.where(active, acum - 1, pack_point_capacity)
+    src = jnp.arange(C * n3, dtype=jnp.int32)
+    local = src % n3
+    packed = (
+        jnp.zeros((pack_point_capacity,), jnp.uint32)
+        .at[dest]
+        .set(
+            ((local.astype(jnp.uint32) << 11) | wflat.astype(jnp.uint32)),
+            mode="drop",
+            unique_indices=True,
+        )
+    )
+    flat_src = (
+        jnp.zeros((pack_point_capacity,), jnp.int32)
+        .at[dest]
+        .set(src, mode="drop", unique_indices=True)
+    )
+    counts = jnp.sum(active.reshape(C, n3).astype(jnp.int32), axis=1)
+
+    # vertex stream: per active slot, edges in x,y,z order (point-major)
+    wc = (packed & 0x7FF).astype(jnp.int32)
+    ex = (wc >> 8) & 1
+    ey = (wc >> 9) & 1
+    ez = (wc >> 10) & 1
+    nedges = ex + ey + ez  # 0 on pad slots (packed == 0)
+    vcum = jnp.cumsum(nedges)
+    vbase = vcum - nedges
+    total_v = vcum[-1]
+
+    row = flat_src // n3
+    rem = flat_src - row * n3
+    li = rem // (ns * ns)
+    lj = (rem // ns) % ns
+    lk = rem % ns
+    p_flat0 = row * (P * P * P) + (li * P + lj) * P + lk
+    v0 = ls_flat[p_flat0]
+    tvals = jnp.zeros((pack_vertex_capacity,), dtype)
+    offs = (jnp.zeros_like(ex), ex, ex + ey)
+    for a, e_a in enumerate((ex, ey, ez)):
+        step = (P * P, P, 1)[a]
+        v1 = ls_flat[jnp.minimum(p_flat0 + step, ls_flat.shape[0] - 1)]
+        denom = v1 - v0
+        t_a = jnp.clip(
+            (iso - v0) / jnp.where(denom == 0, jnp.ones_like(denom), denom),
+            0.0,
+            1.0,
+        )
+        dest_a = jnp.where(e_a == 1, vbase + offs[a], pack_vertex_capacity)
+        tvals = tvals.at[dest_a].set(t_a, mode="drop", unique_indices=True)
+    if quant_t:
+        # same u16 quantization as the dense encoded pull (global_sweep):
+        # max position error cell_size/65535, f32-only
+        tvals = jnp.round(tvals * 65535.0).astype(jnp.uint16)
+    return packed, tvals, counts, total_v
+
+
+def _scan_chunk_mc_encode(ls_ext, rows_mat, sd, iso, pack_pc, pack_vc, quant_t):
+    """Scan the encoded chunk MC over all chunks in one dispatch; packs come
+    back stacked (G, cap) for the whole-pack stream compaction."""
+
+    def body(carry, rows):
+        out = chunk_mc_encode(
+            ls_ext[rows], sd, iso,
+            pack_point_capacity=pack_pc, pack_vertex_capacity=pack_vc,
+            quant_t=quant_t,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, rows_mat)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("out_pc", "out_vc"))
+def _compact_streams(packed, tstr, totv, out_pc: int, out_vc: int):
+    """Drop per-chunk padding: compact the stacked (G, cap) packs into
+    contiguous transfer streams. A valid point slot always has a nonzero
+    word, so ``packed != 0`` IS the validity mask; the t stream needs the
+    per-chunk totals (0.0 is a legitimate edge parameter)."""
+    pf = packed.reshape(-1)
+    valid = pf != 0
+    cum = jnp.cumsum(valid.astype(jnp.int32))
+    dest = jnp.where(valid, cum - 1, out_pc)
+    out_p = (
+        jnp.zeros((out_pc,), jnp.uint32)
+        .at[dest]
+        .set(pf, mode="drop", unique_indices=True)
+    )
+    G, vcap = tstr.shape
+    vvalid = (
+        jnp.arange(vcap, dtype=jnp.int32)[None, :] < totv[:, None]
+    ).reshape(-1)
+    vcum = jnp.cumsum(vvalid.astype(jnp.int32))
+    vdest = jnp.where(vvalid, vcum - 1, out_vc)
+    out_t = (
+        jnp.zeros((out_vc,), tstr.dtype)
+        .at[vdest]
+        .set(tstr.reshape(-1), mode="drop", unique_indices=True)
+    )
+    return out_p, out_t
+
+
+def _decode_sub_mesh_np(
+    packed, tstr, run_counts, run_base, ns, grid: UniformGrid, quant_t: bool
+):
+    """Numpy fallback for the native ``mc_decode_sub`` (same mesh up to FMA
+    rounding of vertex positions, exactly like _decode_cellwise_mesh)."""
+    from splashsurf_tpu.mc import lut
+
+    packed = np.asarray(packed, np.uint32)
+    total_c = packed.shape[0]
+    tstr = np.asarray(tstr)
+    if quant_t:
+        tstr = tstr.astype(np.float32) * np.float32(1.0 / 65535.0)
+    dtype = tstr.dtype
+    npy, npz = int(grid.n_points[1]), int(grid.n_points[2])
+
+    base = np.repeat(np.asarray(run_base, np.int64), np.asarray(run_counts), axis=0)
+    local = (packed >> 11).astype(np.int64)
+    word = (packed & 0x7FF).astype(np.int64)
+    li = local // (ns * ns)
+    lj = (local // ns) % ns
+    lk = local % ns
+    g = base + np.stack([li, lj, lk], axis=1)
+    gflat = (g[:, 0] * npy + g[:, 1]) * npz + g[:, 2]
+
+    emask = (word >> 8) & 7
+    ebits = np.stack([(word >> (8 + a)) & 1 for a in range(3)], axis=1)
+    nedges = ebits.sum(1)
+    vbase = np.cumsum(nedges) - nedges
+    total_v = int(nedges.sum())
+    if total_v != tstr.shape[0]:
+        raise RuntimeError("encoded transfer decode inconsistency (vertices)")
+
+    # vertices: point-major, axes in order
+    mn = np.asarray(grid.min, dtype)
+    cs = np.asarray(grid.cell_size, dtype)
+    vaxis = np.empty(total_v, np.int8)
+    vslot = np.empty(total_v, np.int64)
+    for a in range(3):
+        sel = ebits[:, a] == 1
+        vo = vbase[sel] + ebits[sel, :a].sum(1)
+        vaxis[vo] = a
+        vslot[vo] = np.nonzero(sel)[0]
+    pos = mn[None, :] + g[vslot].astype(dtype) * cs
+    pos[np.arange(total_v), vaxis] += tstr * cs
+    verts = pos
+
+    # neighbor slots: sorted global ids + searchsorted per offset
+    order = np.argsort(gflat, kind="stable")
+    sg = gflat[order]
+    nbr = np.empty((8, total_c), np.int64)
+    nbr[0] = np.arange(total_c)
+    pzy = npy * npz
+    for off in range(1, 8):
+        di, dj, dk = (off >> 2) & 1, (off >> 1) & 1, off & 1
+        tgt = gflat + (di * pzy + dj * npz + dk)
+        pos_s = np.searchsorted(sg, tgt)
+        pos_c = np.minimum(pos_s, total_c - 1)
+        hit = (pos_s < total_c) & (sg[pos_c] == tgt)
+        nbr[off] = np.where(hit, order[pos_c], -1)
+
+    # triangles in stream order
+    case = (word & 0xFF).astype(np.int64)
+    counts = np.asarray(lut.TRI_COUNT, np.int64)[case]
+    total_t = int(counts.sum())
+    toff = np.cumsum(counts) - counts
+    tslot_owner = np.repeat(np.arange(total_c), counts)
+    slot_in = np.arange(total_t) - toff[tslot_owner]
+    tri_tab = np.where(lut.TRI_TABLE >= 0, lut.TRI_TABLE, 0)
+    ea = np.asarray(lut.EDGE_AXIS, np.int64)
+    eb = np.asarray(lut.EDGE_BASE_OFFSET, np.int64)
+    eoff = eb[:, 0] * 4 + eb[:, 1] * 2 + eb[:, 2]
+    tris = np.empty((total_t, 3), np.int32)
+    oc = tslot_owner
+    acase = case[oc]
+    for corner in range(3):
+        le = tri_tab[acase, slot_in, corner]
+        a = ea[le]
+        nslot = nbr[eoff[le], oc]
+        if np.any(nslot < 0):
+            raise RuntimeError("encoded transfer decode inconsistency (owner)")
+        if np.any(ebits[nslot, a] == 0):
+            raise RuntimeError("encoded transfer decode inconsistency (edge)")
+        below = np.zeros(total_t, np.int64)
+        for b in range(2):
+            below += np.where(a > b, ebits[nslot, b], 0)
+        tris[:, corner] = (vbase[nslot] + below).astype(np.int32)
+    return verts, tris
+
+
+def _mc_encoded_mesh(
+    ls_all,
+    sub_ijk_all,
+    sd: SubdomainGridParams,
+    iso,
+    dtype,
+    chunk_size: int,
+    dev_mesh,
+    repl_sh,
+    batch_sh,
+    n_dev: int,
+) -> TriMesh3d:
+    """MC + encoded transfer + host decode for the subdomain path (replaces
+    scan-MC + device stitch + raw float pull when SUB_ENCODED_PULL is on)."""
+    import os
+
+    g = sd.global_grid
+    ns = sd.points_per_dim - 1
+    quant = (
+        dtype == jnp.float32
+        and os.environ.get("SPLASHSURF_TPU_PULL_QUANT", "1") == "1"
+    )
+    iso_j = jnp.asarray(iso, dtype)
+
+    with profile("mc counts"):
+        if dev_mesh is not None:
+            from splashsurf_tpu.parallel import mesh as pmesh
+
+            counts_f = pmesh.sharded_mc_counts_encoded(dev_mesh, sd)
+            ap_all, oe_all, tc_all = jax.device_get(counts_f(ls_all, iso_j))
+        else:
+            ap_all, oe_all, tc_all = jax.device_get(
+                chunk_mc_counts_encoded(ls_all, sd, iso_j)
+            )
+
+    active_rows = np.nonzero(ap_all > 0)[0]
+    B_active = len(active_rows)
+    if B_active == 0:
+        return TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    mc_order = active_rows[
+        np.argsort(np.maximum(oe_all, tc_all)[active_rows], kind="stable")
+    ]
+    mc_chunk = chunk_size
+    sums_p = [
+        int(ap_all[mc_order[i : i + mc_chunk]].sum())
+        for i in range(0, B_active, mc_chunk)
+    ]
+    sums_v = [
+        int(oe_all[mc_order[i : i + mc_chunk]].sum())
+        for i in range(0, B_active, mc_chunk)
+    ]
+    pack_pc = _pow2_at_least(max(sums_p))
+    pack_vc = _pow2_at_least(max(sums_v))
+
+    prof_mc = profile("marching cubes + pack")
+    prof_mc.__enter__()
+    ls_ext = jnp.concatenate([ls_all, jnp.zeros((1,) + ls_all.shape[1:], dtype)])
+    dummy_row = ls_all.shape[0]
+    Gb = _bucket_count(-(-B_active // mc_chunk))
+    if dev_mesh is not None:
+        Gb = -(-Gb // n_dev) * n_dev
+    rows_mat = np.full((Gb * mc_chunk,), dummy_row, np.int32)
+    rows_mat[:B_active] = mc_order
+    rows_mat = rows_mat.reshape(Gb, mc_chunk)
+    if dev_mesh is None:
+        scanned = _scan_chunk_mc_encode(
+            ls_ext, jnp.asarray(rows_mat), sd=sd, iso=iso_j,
+            pack_pc=pack_pc, pack_vc=pack_vc, quant_t=quant,
+        )
+    else:
+        from splashsurf_tpu.parallel import mesh as pmesh
+
+        mc_f = pmesh.sharded_scan_mc_encode(dev_mesh, sd, pack_pc, pack_vc, quant)
+        scanned = mc_f(
+            jax.device_put(ls_ext, repl_sh),
+            jax.device_put(jnp.asarray(rows_mat), batch_sh),
+            iso_j,
+        )
+    packed_G, t_G, cnts_G, totv_G = scanned
+    if _PROFILE_SYNC:
+        jax.block_until_ready(packed_G)
+    prof_mc.__exit__(None, None, None)
+
+    # exact totals straight from the counts pass — no extra device sync
+    total_c = int(ap_all.sum())
+    total_v = int(oe_all.sum())
+    total_t = int(tc_all.sum())
+    out_pc = _bucket16(total_c, lo=1024)
+    out_vc = _bucket16(total_v, lo=1024)
+    with profile("stitching"):
+        with profile("stitch: encoded pull"):
+            out_p, out_t = _compact_streams(packed_G, t_G, totv_G, out_pc, out_vc)
+            packed_h, t_h, cnts_h = jax.device_get((out_p, out_t, cnts_G))
+        packed_h = packed_h[:total_c]
+        t_h = t_h[:total_v]
+        rows_flat = rows_mat.reshape(-1)
+        run_counts = np.ascontiguousarray(cnts_h.reshape(-1))
+        sub_ijk_ext = np.concatenate([sub_ijk_all, np.zeros((1, 3), np.int32)])
+        run_base = np.ascontiguousarray(sub_ijk_ext[rows_flat] * np.int32(ns))
+        with profile("stitch: decode"):
+            from splashsurf_tpu import native
+
+            res = None
+            if dtype == jnp.float32:
+                res = native.mc_decode_sub(
+                    t_h, packed_h, run_counts, run_base, total_v, total_t,
+                    ns, int(g.n_points[1]), int(g.n_points[2]),
+                    g.min, g.cell_size, quant,
+                )
+            if res is None:
+                res = _decode_sub_mesh_np(
+                    packed_h, t_h, run_counts, run_base, ns, g, quant
+                )
+            verts, tris = res
+    return TriMesh3d(vertices=verts, triangles=tris)
+
+
+# ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
 
@@ -1758,7 +2183,25 @@ def reconstruct_surface_subdomain_grid(
         if _PROFILE_SYNC:
             ls_all.block_until_ready()
 
-    # 5. batched marching cubes, chunked with capacity buckets
+    # 5. batched marching cubes, chunked with capacity buckets.
+    # Default: the encoded owned-point transfer + native host decode (the
+    # raw-float stitch pull measured ~50 s of the 90 s sparse 8M frame —
+    # BENCHLOG round 4); the device-stitch path below remains the fallback
+    # (n_sub > 128, or SPLASHSURF_TPU_SUB_ENCODED_PULL=0).
+    if (
+        os.environ.get("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1") == "1"
+        and (sd.points_per_dim - 1) ** 3 <= (1 << 21)
+    ):
+        mesh = _mc_encoded_mesh(
+            ls_all, sub_ijk_all, sd, iso, dtype, chunk_size, dev_mesh,
+            repl_sh if dev_mesh is not None else None,
+            batch_sh if dev_mesh is not None else None,
+            n_dev,
+        )
+        return _finish_subdomain_reconstruction(
+            mesh, positions, parameters, sd, support, rho, particle_inside_aabb
+        )
+
     with profile("mc counts"):
         if dev_mesh is not None:
             counts_f = pmesh.sharded_mc_counts(dev_mesh, sd)
@@ -1864,6 +2307,14 @@ def reconstruct_surface_subdomain_grid(
                     ),
                 )
 
+    return _finish_subdomain_reconstruction(
+        mesh, positions, parameters, sd, support, rho, particle_inside_aabb
+    )
+
+
+def _finish_subdomain_reconstruction(
+    mesh, positions, parameters, sd, support, rho, particle_inside_aabb
+):
     particle_neighbors = None
     if parameters.global_neighborhood_list:
         lists = neighbors.neighborhood_search_spatial_hashing_parallel(

@@ -212,6 +212,89 @@ class TestDoublePrecisionSubdomains:
         assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
 
 
+class TestEncodedPull:
+    """The owned-point encoded mesh transfer (subdomains._mc_encoded_mesh)
+    must produce the same surface as the device-stitch path: same counts,
+    same triangle-soup multiset (vertex ORDER differs by design — stream
+    order vs interior-then-boundary stitch order)."""
+
+    @staticmethod
+    def _soup(mesh, cell_size):
+        v = np.asarray(mesh.vertices)
+        tri = v[np.asarray(mesh.triangles)]  # (T, 3, 3)
+        tri = np.round(tri / cell_size, 3)
+        out = []
+        for t in tri:
+            corners = sorted(map(tuple, t))
+            out.append(corners[0] + corners[1] + corners[2])
+        return sorted(out)
+
+    def test_matches_stitch_path(self, cube_cloud, monkeypatch):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        # quantization off: the stitch path ships full-precision floats, so
+        # the soup comparison needs the unquantized t stream
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "0")
+        monkeypatch.setenv("SPLASHSURF_TPU_SUB_ENCODED_PULL", "0")
+        rec_s = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        monkeypatch.setenv("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1")
+        rec_e = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        assert rec_e.mesh.num_vertices == rec_s.mesh.num_vertices
+        assert rec_e.mesh.num_triangles == rec_s.mesh.num_triangles
+        assert (
+            check_mesh_consistency(rec_e.mesh.vertices, rec_e.mesh.triangles)
+            is None
+        )
+        assert self._soup(rec_e.mesh, grid.cell_size) == self._soup(
+            rec_s.mesh, grid.cell_size
+        )
+
+    def test_numpy_decoder_matches_native(self, cube_cloud, monkeypatch):
+        from splashsurf_tpu import native
+
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        monkeypatch.setenv("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1")
+        rec_n = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        monkeypatch.setattr(native, "mc_decode_sub", lambda *a, **k: None)
+        rec_f = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        # triangle INDICES must be identical (same stream, same conventions);
+        # positions agree up to FMA contraction differences (g++ may fuse)
+        np.testing.assert_array_equal(rec_f.mesh.triangles, rec_n.mesh.triangles)
+        np.testing.assert_allclose(
+            rec_f.mesh.vertices, rec_n.mesh.vertices, atol=1e-6
+        )
+
+    def test_quant_off_still_matches(self, cube_cloud, monkeypatch):
+        p = _params(n_sub=16)
+        grid = grid_for_reconstruction(cube_cloud, 0.025, 0.1, 0.025)
+        monkeypatch.setenv("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1")
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "0")
+        rec_a = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "1")
+        rec_b = reconstruct_surface_subdomain_grid(cube_cloud, p, grid)
+        np.testing.assert_array_equal(rec_a.mesh.triangles, rec_b.mesh.triangles)
+        # quantization error bound: cell_size / 65535
+        np.testing.assert_allclose(
+            rec_a.mesh.vertices, rec_b.mesh.vertices,
+            atol=1.5 * grid.cell_size / 65535.0,
+        )
+
+    def test_f64_encoded(self, monkeypatch):
+        monkeypatch.setenv("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1")
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 0.25, (800, 3))
+        p = st.Parameters.new_relative(
+            0.02, 4.0, 1.0, dtype="float64",
+            grid_decomposition=GridDecompositionParameters(16, auto_disable=False),
+        )
+        rec = st.reconstruct_surface(pts, p)
+        assert rec.mesh.vertices.dtype == np.float64
+        assert check_mesh_consistency(rec.mesh.vertices, rec.mesh.triangles) is None
+
+
 class TestEmptySurface:
     def test_threshold_above_everything(self):
         # iso threshold unreachable -> empty mesh, no crash
