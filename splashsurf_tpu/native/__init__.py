@@ -86,7 +86,7 @@ def load():
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.mc_decode.restype = ctypes.c_int64
         lib.mc_decode.argtypes = [
-            f32p, ctypes.c_int64,  # t, total_v
+            f32p, ctypes.c_int64, ctypes.c_int64,  # t, total_v, total_t
             i32p, u16p, ctypes.c_int64,  # points, words, total_c
             ctypes.c_int64, ctypes.c_int64,  # PY, PZ
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -98,7 +98,7 @@ def load():
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         lib.mc_decode_sub.restype = ctypes.c_int64
         lib.mc_decode_sub.argtypes = [
-            f32p, ctypes.c_int64,  # t, total_v
+            f32p, ctypes.c_int64, ctypes.c_int64,  # t, total_v, total_t
             u32p, ctypes.c_int64,  # packed, total_c
             i32p, i32p, ctypes.c_int64,  # run_counts, run_base, n_runs
             ctypes.c_int64,  # ns
@@ -136,7 +136,7 @@ def mc_decode(t, points, words, total_v: int, total_t: int, total_c: int,
     verts = np.empty((max(total_v, 1), 3), np.float32)
     tris = np.empty((max(total_t, 1), 3), np.int32)
     n = lib.mc_decode(
-        t, total_v, points, words, total_c, PY, PZ,
+        t, total_v, total_t, points, words, total_c, PY, PZ,
         float(grid_min[0]), float(grid_min[1]), float(grid_min[2]),
         float(cell_size),
         tri_table, tri_table.shape[1], tri_count, edge_axis, edge_base,
@@ -176,7 +176,7 @@ def mc_decode_sub(t, packed, run_counts, run_base, total_v: int, total_t: int,
     verts = np.empty((max(total_v, 1), 3), np.float32)
     tris = np.empty((max(total_t, 1), 3), np.int32)
     n = lib.mc_decode_sub(
-        t, total_v, packed, packed.shape[0],
+        t, total_v, total_t, packed, packed.shape[0],
         run_counts, run_base, run_counts.shape[0], ns, NPY, NPZ,
         float(grid_min[0]), float(grid_min[1]), float(grid_min[2]),
         float(cell_size),

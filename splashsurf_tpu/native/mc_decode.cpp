@@ -26,7 +26,7 @@ extern "C" {
 // Returns the number of triangles written, or -1 on inconsistency (a
 // referenced owner point missing from the active list).
 int64_t mc_decode(
-    const float* t, int64_t total_v,
+    const float* t, int64_t total_v, int64_t total_t,
     const int32_t* points, const uint16_t* words, int64_t total_c,
     int64_t PY, int64_t PZ,
     double mnx, double mny, double mnz, double cell_size,
@@ -104,6 +104,7 @@ int64_t mc_decode(
   for (int64_t i = 0; i < total_c; ++i) {
     const int c = words[i] & 0xFF;
     const int cnt = tri_count[c];
+    if (to + cnt > total_t) return -1;  // capacity guard before any write
     for (int s = 0; s < cnt; ++s) {
       for (int corner = 0; corner < 3; ++corner) {
         const int local = tri_table[((int64_t)c * n_slots + s) * 3 + corner];
@@ -135,7 +136,7 @@ int64_t mc_decode(
 //
 // Returns the number of triangles written, or -1 on inconsistency.
 int64_t mc_decode_sub(
-    const float* t, int64_t total_v,
+    const float* t, int64_t total_v, int64_t total_t,
     const uint32_t* packed, int64_t total_c,
     const int32_t* run_counts, const int32_t* run_base, int64_t n_runs,
     int64_t ns,
@@ -174,6 +175,7 @@ int64_t mc_decode_sub(
         pbase[slot] = (int32_t)vo;
         for (int a = 0; a < 3; ++a) {
           if ((w >> (8 + a)) & 1) {
+            if (vo >= total_v) return -1;  // capacity guard before any write
             const float tv = t[vo];
             float pos[3] = {mnf[0] + (float)gi * csf, mnf[1] + (float)gj * csf,
                             mnf[2] + (float)gk * csf};
@@ -214,6 +216,7 @@ int64_t mc_decode_sub(
   for (int64_t i = 0; i < total_c; ++i) {
     const int c = words[i] & 0xFF;
     const int cnt = tri_count[c];
+    if (to + cnt > total_t) return -1;  // capacity guard before any write
     for (int s = 0; s < cnt; ++s) {
       for (int corner = 0; corner < 3; ++corner) {
         const int local = tri_table[((int64_t)c * n_slots + s) * 3 + corner];

@@ -1026,7 +1026,7 @@ def compute_particle_densities_geoslot(
 
     rdest = jnp.where(ok, dest, total)
     if (
-        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "0") == "1"
         and dtype == jnp.float32
     ):
         # Scatter cost is per update row (~6 ms/M rows at 2M): pack two

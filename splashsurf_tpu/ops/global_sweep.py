@@ -173,7 +173,7 @@ def rasterize_global(
         )
 
     if (
-        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+        os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "0") == "1"
         and dtype == jnp.float32
     ):
         # Scatter cost on TPU is per update ROW (~6 ms/M rows), not per

@@ -384,7 +384,7 @@ def _density_fn_geoslot(mesh: Mesh, grid: BinGrid, D: int, slab_w: int, C: int):
 
         rdest = jnp.where(ok, dest, total)
         if (
-            os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "1") == "1"
+            os.environ.get("SPLASHSURF_TPU_PACK_SCATTER", "0") == "1"
             and dtype == jnp.float32
         ):
             # complex-packed frac scatter (3 -> 2 row passes), mirroring the

@@ -156,6 +156,7 @@ def sharded_mc_counts(mesh: Mesh, sd: SubdomainGridParams):
     )
 
 
+@functools.lru_cache(maxsize=32)
 def sharded_mc_counts_encoded(mesh: Mesh, sd: SubdomainGridParams):
     from jax import shard_map
 
