@@ -40,7 +40,7 @@ from splashsurf_tpu.uniform_grid import UniformGrid
     jax.jit,
     static_argnames=(
         "grid", "slots", "hsc", "overflow_capacity", "lane_align",
-        "with_meta",
+        "with_meta", "halo_x",
     ),
 )
 def rasterize_global(
@@ -52,6 +52,7 @@ def rasterize_global(
     overflow_capacity: int,
     lane_align: int = 1,
     with_meta: bool = False,
+    halo_x: bool = False,
 ):
     """Rasterize particles into per-cell slot tables over the whole grid.
 
@@ -866,6 +867,36 @@ class SpeculationMiss(RuntimeError):
         self.flags = tuple(flags)
 
 
+class EmptyFieldError(RuntimeError):
+    """An empty mesh was produced although the level-set field says it
+    should not have been.
+
+    A zero-triangle result is VALID when the field never reaches the iso
+    threshold (e.g. an unreachable --surface-threshold); it is a BUG when
+    the field is identically zero despite input particles (the splat died
+    — round 4's f64-on-TPU failure mode) or when it crosses iso but MC
+    emitted nothing. Raised instead of returning silent garbage."""
+
+
+def check_empty_field(total_t: int, ls_max: float, iso: float) -> None:
+    """Contract guard for empty meshes (see EmptyFieldError). ``ls_max``
+    is the frame's maximum level-set value (one scalar, pulled only when
+    the mesh came back empty — the hot path never pays for this)."""
+    if total_t > 0:
+        return
+    if ls_max == 0.0:
+        raise EmptyFieldError(
+            "empty mesh and the level set is identically zero despite "
+            "input particles — the density splat produced no field"
+        )
+    if ls_max >= iso:
+        raise EmptyFieldError(
+            f"empty mesh but the level set reaches {ls_max:.6g} >= "
+            f"iso={iso:.6g} — marching cubes or the transfer encoding "
+            "dropped the surface"
+        )
+
+
 def _pow2(n: int, lo: int = 1024) -> int:
     return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
 
@@ -1350,6 +1381,8 @@ def _finish_global_dense(
                         + (bincl_d,)
                     )
                 _PULL_PLAN_ENC[key] = (nv_b, nc_b)
+                if total_t == 0:
+                    check_empty_field(total_t, float(jnp.max(ls)), float(iso))
             with profile("decode mesh"):
                 from splashsurf_tpu import native
 
@@ -1415,6 +1448,8 @@ def _finish_global_dense(
                 pv, pt = _pack_mesh(*out[:6], nv=nv_b, nt=nt_b)
                 pv, pt = jax.device_get((pv, pt))
             _PULL_PLAN[key] = (nv_b, nt_b)
+            if total_t == 0:
+                check_empty_field(total_t, float(jnp.max(ls)), float(iso))
         _note_overflow_plan(okey, total_over)
         verts = np.ascontiguousarray(pv.T[:total_v])
         tris = np.ascontiguousarray(pt.T[:total_t]).astype(np.int32)

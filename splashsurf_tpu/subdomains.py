@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -626,6 +627,35 @@ def _mc_counts_blocks(ls, iso):
     return jax.vmap(one)(ls)
 
 
+def _mc_counts_encoded_blocks(ls, iso):
+    """Per-block (active-point, owned-edge, triangle) counts ((C,) each) —
+    chunk_mc_counts_encoded's body, reused by the streaming pass 1 when the
+    encoded transfer is on (see chunk_mc_counts_encoded's docstring)."""
+    ns = ls.shape[1] - 1
+
+    def one(v):
+        inside = v >= iso
+        case = mc_dense._case_indices(inside)  # (ns, ns, ns)
+        ems = []
+        for a in range(3):
+            sl0 = tuple(slice(0, -1) if d == a else slice(None) for d in range(3))
+            sl1 = tuple(slice(1, None) if d == a else slice(None) for d in range(3))
+            em = inside[sl0] != inside[sl1]
+            ems.append(em[tuple(slice(0, ns) for _ in range(3))])
+        has_case = (case != 0) & (case != 255)
+        active = has_case | ems[0] | ems[1] | ems[2]
+        ap = jnp.sum(active.astype(jnp.int32))
+        oe = (
+            jnp.sum(ems[0].astype(jnp.int32))
+            + jnp.sum(ems[1].astype(jnp.int32))
+            + jnp.sum(ems[2].astype(jnp.int32))
+        )
+        tc = jnp.sum(jnp.asarray(mc.TRI_COUNT, jnp.int32)[case])
+        return ap, oe, tc
+
+    return jax.vmap(one)(ls)
+
+
 def _splat_chunk(
     positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
     sub_ijk_ext, rows, sd, support, hsc, K, unroll, kind,
@@ -649,18 +679,22 @@ def _splat_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sd", "support", "hsc", "K", "unroll", "kind"),
+    static_argnames=("sd", "support", "hsc", "K", "unroll", "kind", "encoded"),
     donate_argnames=("shells",),
 )
 def _scan_stream1(
     positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
     sub_ijk_ext, rows_mat, own_flat_ext, nb_idx_ext, nb_flat_ext, shells,
     iso, sd: SubdomainGridParams, support: float, hsc: int, K: int,
-    unroll, kind: str,
+    unroll, kind: str, encoded: bool = False,
 ):
     """Streaming pass 1 for one (K, C, kind) group: splat -> shell write ->
     halo-from-table -> exact post-halo MC counts. The shell table is the
-    scan carry (donated, updated in place); blocks die inside the scan."""
+    scan carry (donated, updated in place); blocks die inside the scan.
+
+    ``encoded=True`` computes the encoded-transfer counts (active points,
+    owned edges, triangles) instead of the raw-stitch counts (vertices,
+    triangles, boundary vertices) — same three (C,) slots either way."""
 
     def body(shells, rows):
         ls, over = _splat_chunk(
@@ -673,11 +707,15 @@ def _scan_stream1(
             ls, own_flat_ext[rows], nb_idx_ext[:, rows],
             nb_flat_ext[:, rows], shells,
         )
-        nv, nt, nb = _mc_counts_blocks(ls, iso)
-        return shells, (nv, nt, nb, over)
+        if encoded:
+            c1, c2, c3 = _mc_counts_encoded_blocks(ls, iso)
+        else:
+            c1, c2, c3 = _mc_counts_blocks(ls, iso)
+        lsmax = jnp.max(ls)  # empty-field contract guard (EmptyFieldError)
+        return shells, (c1, c2, c3, over, lsmax)
 
-    shells, (nv, nt, nb, overs) = jax.lax.scan(body, shells, rows_mat)
-    return shells, nv, nt, nb, overs
+    shells, (nv, nt, nb, overs, lsmax) = jax.lax.scan(body, shells, rows_mat)
+    return shells, nv, nt, nb, overs, lsmax
 
 
 @functools.partial(
@@ -707,6 +745,45 @@ def _scan_stream2(
         out = chunk_mc(
             ls, sub_ijk_ext[rows], sd, iso,
             pack_vertex_capacity=pack_vc, pack_triangle_capacity=pack_tc,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, rows_mat)
+    return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sd", "support", "hsc", "K", "unroll", "kind",
+        "pack_pc", "pack_vc", "quant_t",
+    ),
+)
+def _scan_stream2_encode(
+    positions_ext, values_ext, pid_s, cell_s, rank_s, starts, counts,
+    sub_ijk_ext, rows_mat, own_flat_ext, nb_idx_ext, nb_flat_ext, shells,
+    iso, sd: SubdomainGridParams, support: float, hsc: int, K: int,
+    unroll, kind: str, pack_pc: int, pack_vc: int, quant_t: bool,
+):
+    """Streaming pass 2, encoded-transfer form: re-splat -> halo from the
+    complete shell table -> owned-point encoded MC packs (chunk_mc_encode).
+    The per-chunk packs are identical to the resident path's (same halo'd
+    level sets, same encode), so after stream compaction + a host reorder
+    into the resident run order the decoded mesh is bit-identical."""
+
+    def body(carry, rows):
+        ls, _over = _splat_chunk(
+            positions_ext, values_ext, pid_s, cell_s, rank_s, starts,
+            counts, sub_ijk_ext, rows, sd, support, hsc, K, unroll, kind,
+        )
+        ls = _halo_from_shells(
+            ls, own_flat_ext[rows], nb_idx_ext[:, rows],
+            nb_flat_ext[:, rows], shells,
+        )
+        out = chunk_mc_encode(
+            ls, sd, iso,
+            pack_point_capacity=pack_pc, pack_vertex_capacity=pack_vc,
+            quant_t=quant_t,
         )
         return carry, out
 
@@ -763,11 +840,19 @@ def _stream_levelset_mc(
 
     Returns the stitched TriMesh3d. Peak HBM is the (6, B+1, P^2) shell
     table plus one chunk group in flight — no (B, P^3) ls_all. Output is
-    bit-identical to the non-streaming path (see module comment above).
+    bit-identical to the non-streaming path (see module comment above):
+    when the encoded pull is on (the default) pass 2 emits the same
+    owned-point packs as the resident path and the host reorders the
+    pulled runs into the resident run order before the shared decode.
     """
     B = len(occ_ids)
     P = sd.points_per_dim
     iso_j = jnp.asarray(iso, dtype)
+    # mirror the resident path's encoded-pull gate exactly (bit-identity)
+    encoded = (
+        os.environ.get("SPLASHSURF_TPU_SUB_ENCODED_PULL", "1") == "1"
+        and (sd.points_per_dim - 1) ** 3 <= (1 << 21)
+    )
 
     # extended tables: row B is the empty subdomain (no particles, absent
     # neighbors) used for chunk padding — it splats zero and emits nothing
@@ -813,19 +898,21 @@ def _stream_levelset_mc(
             for c, ent in enumerate(group):
                 r = ent[0]
                 rows_mat[c, : len(r)] = np.where(r >= 0, r, B)
-            shells, nv, nt, nb, overs = _scan_stream1(
+            shells, nv, nt, nb, overs, lsm = _scan_stream1(
                 positions_ext, values_ext, pid_s, cell_s, rank_s,
                 starts_ext, counts_ext, sub_ijk_ext,
                 jnp.asarray(rows_mat), own_ext, nb_idx_ext, nb_flat_ext,
                 shells, iso_j, sd=sd, support=float(support), hsc=hsc,
-                K=K, unroll=unroll, kind=kind,
+                K=K, unroll=unroll, kind=kind, encoded=encoded,
             )
-            outs.append((group, nv, nt, nb, overs))
+            outs.append((group, nv, nt, nb, overs, lsm))
             gi = gj
         # one pull for all counts + overflow checks
         pulled = jax.device_get([o[1:] for o in outs])
         bad_rows = set()
-        for (group, *_), (nv, nt, nb, overs) in zip(outs, pulled):
+        ls_max = 0.0
+        for (group, *_), (nv, nt, nb, overs, lsm) in zip(outs, pulled):
+            ls_max = max(ls_max, float(np.max(lsm)))
             for c, ent in enumerate(group):
                 rows, step, _, _, kind = ent
                 rr = rows[:step]
@@ -834,20 +921,23 @@ def _stream_levelset_mc(
                 nb_all[rr] = nb[c][:step]
                 if kind == "raster" and int(np.max(overs[c])) > 256:
                     bad_rows.update(int(r) for r in rr)
-        return shells, nv_all, nt_all, nb_all, bad_rows
+        return shells, nv_all, nt_all, nb_all, bad_rows, ls_max
 
     forced: set = set()
-    shells, nv_all, nt_all, nb_all, bad = run_pass1(forced)
+    shells, nv_all, nt_all, nb_all, bad, ls_max = run_pass1(forced)
     if bad:
         # raster slot overflow corrupts the chunk's blocks AND any later
         # chunk that consumed its shell: redo the whole pass with the
         # offending rows forced to the exact scatter kind (scatter chunks
         # cannot overflow, so one retry suffices)
         forced = bad
-        shells, nv_all, nt_all, nb_all, _ = run_pass1(forced)
+        shells, nv_all, nt_all, nb_all, _, ls_max = run_pass1(forced)
 
     active = np.nonzero(nv_all > 0)[0]
     if len(active) == 0:
+        from splashsurf_tpu.ops.global_sweep import check_empty_field
+
+        check_empty_field(0, ls_max, float(iso))
         return TriMesh3d(
             np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
         )
@@ -859,6 +949,91 @@ def _stream_levelset_mc(
         order2, occ_counts, threshold, chunk_size, raster_chunk_cap,
         slot_budget, k_bucket, forced_rows=forced,
     )
+
+    if encoded:
+        # encoded-transfer pass 2: nv/nt/nb hold (active points, owned
+        # edges, triangles). Chunks run in splat-plan order; the host
+        # reorders the pulled runs into the RESIDENT path's canonical run
+        # order (active rows sorted by max(owned edges, triangles)) before
+        # the shared decode, so the mesh is bit-identical to STREAM=0.
+        ap_all, oe_all, tc_all = nv_all, nt_all, nb_all
+        quant = (
+            dtype == jnp.float32
+            and os.environ.get("SPLASHSURF_TPU_PULL_QUANT", "1") == "1"
+        )
+        chunk_psums = [int(ap_all[ent[0][: ent[1]]].sum()) for ent in plan2]
+        chunk_vsums = [int(oe_all[ent[0][: ent[1]]].sum()) for ent in plan2]
+        pack_pc = _pow2_at_least(max(chunk_psums))
+        pack_vc = _pow2_at_least(max(chunk_vsums))
+        ap_ext = np.append(ap_all, 0)
+        oe_ext = np.append(oe_all, 0)
+
+        parts = []
+        rows_stream = []
+        totv_parts = []
+        gi = 0
+        while gi < len(plan2):
+            gj = gi
+            K, C, kind = plan2[gi][2], plan2[gi][3], plan2[gi][4]
+            while gj < len(plan2) and plan2[gj][2:5] == (K, C, kind):
+                gj += 1
+            group = plan2[gi:gj]
+            rows_mat = np.full((len(group), C), B, np.int32)
+            for c, ent in enumerate(group):
+                r = ent[0]
+                rows_mat[c, : len(r)] = np.where(r >= 0, r, B)
+            outs = _scan_stream2_encode(
+                positions_ext, values_ext, pid_s, cell_s, rank_s,
+                starts_ext, counts_ext, sub_ijk_ext, jnp.asarray(rows_mat),
+                own_ext, nb_idx_ext, nb_flat_ext, shells, iso_j,
+                sd=sd, support=float(support), hsc=hsc, K=K, unroll=unroll,
+                kind=kind, pack_pc=pack_pc, pack_vc=pack_vc, quant_t=quant,
+            )
+            parts.append(outs)
+            rows_stream.append(rows_mat.reshape(-1))
+            totv_parts.append(oe_ext[rows_mat].sum(axis=1).astype(np.int32))
+            gi = gj
+
+        packed_G = jnp.concatenate([p[0] for p in parts], axis=0)
+        t_G = jnp.concatenate([p[1] for p in parts], axis=0)
+        totv = jnp.asarray(np.concatenate(totv_parts))
+        total_c = int(ap_all.sum())
+        total_v = int(oe_all.sum())
+        total_t = int(tc_all.sum())
+        out_pc = _bucket16(total_c, lo=1024)
+        out_vc = _bucket16(total_v, lo=1024)
+        with profile("stitching"):
+            with profile("stitch: encoded pull"):
+                out_p, out_t = _compact_streams(packed_G, t_G, totv, out_pc, out_vc)
+                packed_h, t_h = jax.device_get((out_p, out_t))
+            packed_h = packed_h[:total_c]
+            t_h = t_h[:total_v]
+            # run layout of the pulled streams (splat-plan order, incl. pads)
+            rows_flat = np.concatenate(rows_stream)
+            pc_stream = ap_ext[rows_flat].astype(np.int64)
+            vc_stream = oe_ext[rows_flat].astype(np.int64)
+            p_off = np.concatenate([[0], np.cumsum(pc_stream)[:-1]])
+            v_off = np.concatenate([[0], np.cumsum(vc_stream)[:-1]])
+            rowpos = np.full(B + 1, -1, np.int64)
+            rowpos[rows_flat] = np.arange(len(rows_flat))
+            # canonical (resident) run order — same formula as _mc_encoded_mesh
+            mc_order = active[
+                np.argsort(np.maximum(oe_all, tc_all)[active], kind="stable")
+            ]
+            pos = rowpos[mc_order]
+            packed_h = packed_h[_grouped_arange(p_off[pos], ap_all[mc_order])]
+            t_h = t_h[_grouped_arange(v_off[pos], oe_all[mc_order])]
+            run_counts = np.ascontiguousarray(ap_all[mc_order].astype(np.int32))
+            run_base = np.ascontiguousarray(
+                sub_ijk_all[mc_order] * np.int32(P - 1)
+            )
+            with profile("stitch: decode"):
+                verts, tris = _decode_encoded_streams(
+                    packed_h, t_h, run_counts, run_base, P - 1,
+                    sd.global_grid, dtype, quant, total_v, total_t,
+                )
+        return TriMesh3d(vertices=verts, triangles=tris)
+
     chunk_vsums = [int(nv_all[ent[0][: ent[1]]].sum()) for ent in plan2]
     chunk_tsums = [int(nt_all[ent[0][: ent[1]]].sum()) for ent in plan2]
     pack_vc = _pow2_at_least(max(chunk_vsums))
@@ -1537,6 +1712,46 @@ def _decode_sub_mesh_np(
     return verts, tris
 
 
+def _decode_encoded_streams(
+    packed_h, t_h, run_counts, run_base, ns, grid, dtype, quant,
+    total_v: int, total_t: int,
+):
+    """Decode compacted (packed, t) streams into (verts, tris) — native C++
+    when available (f32), numpy fallback otherwise. Shared by the resident
+    and streaming subdomain paths (same streams => same mesh)."""
+    from splashsurf_tpu import native
+
+    res = None
+    if dtype == jnp.float32:
+        res = native.mc_decode_sub(
+            t_h, packed_h, run_counts, run_base, total_v, total_t,
+            ns, int(grid.n_points[1]), int(grid.n_points[2]),
+            grid.min, grid.cell_size, quant,
+        )
+    if res is None:
+        res = _decode_sub_mesh_np(
+            packed_h, t_h, run_counts, run_base, ns, grid, quant
+        )
+    return res
+
+
+def _grouped_arange(starts, lens):
+    """Concatenate [arange(s, s+l) for s, l in zip(starts, lens)] without a
+    Python loop (the run-reorder gather for the streaming encoded pull)."""
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    step = np.ones(total, np.int64)
+    step[0] = starts[0]
+    off = np.cumsum(lens)[:-1]
+    step[off] += starts[1:] - (starts[:-1] + lens[:-1])
+    return np.cumsum(step)
+
+
 def _mc_encoded_mesh(
     ls_all,
     sub_ijk_all,
@@ -1575,6 +1790,9 @@ def _mc_encoded_mesh(
     active_rows = np.nonzero(ap_all > 0)[0]
     B_active = len(active_rows)
     if B_active == 0:
+        from splashsurf_tpu.ops.global_sweep import check_empty_field
+
+        check_empty_field(0, float(jnp.max(ls_all)), float(iso))
         return TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     mc_order = active_rows[
         np.argsort(np.maximum(oe_all, tc_all)[active_rows], kind="stable")
@@ -1637,20 +1855,10 @@ def _mc_encoded_mesh(
         sub_ijk_ext = np.concatenate([sub_ijk_all, np.zeros((1, 3), np.int32)])
         run_base = np.ascontiguousarray(sub_ijk_ext[rows_flat] * np.int32(ns))
         with profile("stitch: decode"):
-            from splashsurf_tpu import native
-
-            res = None
-            if dtype == jnp.float32:
-                res = native.mc_decode_sub(
-                    t_h, packed_h, run_counts, run_base, total_v, total_t,
-                    ns, int(g.n_points[1]), int(g.n_points[2]),
-                    g.min, g.cell_size, quant,
-                )
-            if res is None:
-                res = _decode_sub_mesh_np(
-                    packed_h, t_h, run_counts, run_base, ns, g, quant
-                )
-            verts, tris = res
+            verts, tris = _decode_encoded_streams(
+                packed_h, t_h, run_counts, run_base, ns, g, dtype, quant,
+                total_v, total_t,
+            )
     return TriMesh3d(vertices=verts, triangles=tris)
 
 
@@ -2272,7 +2480,11 @@ def reconstruct_surface_subdomain_grid(
 
     prof_mc.__exit__(None, None, None)
     if scanned_mc is None:
-        # nothing crossed the iso threshold anywhere
+        # nothing crossed the iso threshold anywhere — a valid result only
+        # if the field genuinely stayed in (0, iso) (see EmptyFieldError)
+        from splashsurf_tpu.ops.global_sweep import check_empty_field
+
+        check_empty_field(0, float(jnp.max(ls_all)), float(iso))
         mesh = TriMesh3d(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     else:
         with profile("stitching"):

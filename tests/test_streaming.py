@@ -148,3 +148,43 @@ class TestStreamingBitIdentity:
             pts, params, grid, sharded=False
         )
         _assert_bitwise(rec0.mesh, rec1.mesh)
+
+
+class TestStreamingQuantAccuracy:
+    """The u16 t-quantization reaches the streaming path through the shared
+    encoded transfer (VERDICT r4 item 9): streaming must stay bit-identical
+    to the resident path at BOTH quant settings, and its quantization error
+    must respect the cell_size/65535 bound."""
+
+    @pytest.mark.parametrize("quant", ["0", "1"])
+    def test_stream_matches_resident(self, monkeypatch, quant):
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", quant)
+        m0, m1 = _run_both(_block(seed=11), monkeypatch)
+        _assert_bitwise(m0, m1)
+
+    def test_quant_error_bound(self, monkeypatch):
+        pts = _block(seed=12)
+        params = _params()
+        grid = grid_for_reconstruction(
+            pts, R, params.compact_support_radius, params.cube_size
+        )
+        monkeypatch.setenv("SPLASHSURF_TPU_STREAM", "1")
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "0")
+        rec_a = reconstruct_surface_subdomain_grid(
+            pts, params, grid, sharded=False
+        )
+        monkeypatch.setenv("SPLASHSURF_TPU_PULL_QUANT", "1")
+        rec_b = reconstruct_surface_subdomain_grid(
+            pts, params, grid, sharded=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rec_a.mesh.triangles), np.asarray(rec_b.mesh.triangles)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rec_a.mesh.vertices), np.asarray(rec_b.mesh.vertices),
+            rtol=0, atol=1.5 * grid.cell_size / 65535.0,
+        )
+        assert (
+            check_mesh_consistency(rec_b.mesh.vertices, rec_b.mesh.triangles)
+            is None
+        )
