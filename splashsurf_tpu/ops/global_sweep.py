@@ -40,7 +40,7 @@ from splashsurf_tpu.uniform_grid import UniformGrid
     jax.jit,
     static_argnames=(
         "grid", "slots", "hsc", "overflow_capacity", "lane_align",
-        "with_meta", "halo_x",
+        "with_meta", "slab_ncx",
     ),
 )
 def rasterize_global(
@@ -52,7 +52,8 @@ def rasterize_global(
     overflow_capacity: int,
     lane_align: int = 1,
     with_meta: bool = False,
-    halo_x: bool = False,
+    slab_ncx: int | None = None,
+    slab_x0=None,
 ):
     """Rasterize particles into per-cell slot tables over the whole grid.
 
@@ -68,12 +69,23 @@ def rasterize_global(
     Also returns (opos0, opos1, opos2, oval, n_overflow): particles whose
     cell already had ``slots`` occupants, to be splatted via the scatter
     path. n_overflow must be validated <= overflow_capacity by the caller.
+
+    Slab mode (the x-slab streamed dense path, ops/slab_sweep.py): with
+    ``slab_ncx`` (static width in cells) and ``slab_x0`` (traced start
+    cell), the table covers global cells [x0-pad, x0+slab_ncx+pad) in x —
+    including the HALO band whose particles reach the slab's points. Cell
+    indices and fracs are computed against the GLOBAL grid origin, so a
+    particle's frac (and hence every kernel value) is bit-identical no
+    matter which slab rasterized it — the determinism contract that makes
+    neighboring slabs agree exactly on their shared point plane.
     """
     positions = jnp.asarray(positions)
     values = jnp.asarray(values)
     dtype = positions.dtype
     n = positions.shape[0]
     ncx, ncy, ncz = grid.n_cells
+    if slab_ncx is not None:
+        ncx = slab_ncx
     pad = hsc + 1
     Xp = ncx + 2 * pad
     # Mosaic DMA memref views require tile-aligned slices: the minor (lane)
@@ -99,15 +111,26 @@ def rasterize_global(
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
     px = [positions[:, d] for d in range(3)]
     cell = [jnp.floor((px[d] - mn[d]) / cs).astype(jnp.int32) for d in range(3)]
+    if slab_ncx is None:
+        cx_rel = cell[0]  # x index relative to the table's cell range
+        valid_x = (cell[0] >= 0) & (cell[0] < ncx)
+        ncells_rank = ncx * ncy * ncz
+    else:
+        # slab mode: accept the halo band too; rank space covers it
+        x0 = jnp.asarray(slab_x0, jnp.int32)
+        cx_rel = cell[0] - x0  # relative x, in [-pad, ncx+pad) when valid
+        valid_x = (cx_rel >= -pad) & (cx_rel < ncx + pad)
+        ncells_rank = (ncx + 2 * pad) * ncy * ncz
     valid = (
-        (cell[0] >= 0) & (cell[0] < ncx)
+        valid_x
         & (cell[1] >= 0) & (cell[1] < ncy)
         & (cell[2] >= 0) & (cell[2] < ncz)
     )
     import os
 
-    ncells = ncx * ncy * ncz
-    cflat = jnp.where(valid, (cell[0] * ncy + cell[1]) * ncz + cell[2], ncells)
+    ncells = ncells_rank
+    rank_x = cx_rel if slab_ncx is None else cx_rel + pad
+    cflat = jnp.where(valid, (rank_x * ncy + cell[1]) * ncz + cell[2], ncells)
     idx = jnp.arange(n, dtype=jnp.int32)
 
     if os.environ.get("SPLASHSURF_TPU_RASTER_SORTFREE", "1") == "1":
@@ -159,7 +182,7 @@ def rasterize_global(
     ok = valid & (rank < slots)
     total = slots * Xp * Yp * Zp
     dest = (
-        (rank * Xp + (cell[0] + pad)) * Yp + (cell[1] + pad)
+        (rank * Xp + (cx_rel + pad)) * Yp + (cell[1] + pad)
     ) * Zp + (cell[2] + pad)
     dest = jnp.where(ok, dest, total)
 
@@ -230,10 +253,20 @@ def rasterize_global(
     return fx, fy, fz, fv, opos[0], opos[1], opos[2], oval, n_overflow
 
 
-def _scatter_splat_points(opx, opy, opz, oval, grid, h, hsc, out_flat):
-    """Scatter-add splat of (few) overflow particles onto the global points."""
+def _scatter_splat_points(
+    opx, opy, opz, oval, grid, h, hsc, out_flat,
+    slab_npx: int | None = None, slab_x0=None,
+):
+    """Scatter-add splat of (few) overflow particles onto the global points.
+
+    Slab mode: points are the slab's ([x0, x0+npx) global x planes); point
+    COORDINATES stay in global-grid arithmetic so contributions are
+    bit-identical across slabs (see rasterize_global's slab note)."""
     dtype = opx.dtype
     npx, npy, npz = grid.n_points
+    if slab_npx is not None:
+        npx = slab_npx
+        x0 = jnp.asarray(slab_x0, jnp.int32)
     total_points = npx * npy * npz
     cs = jnp.asarray(grid.cell_size, dtype)
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
@@ -257,12 +290,13 @@ def _scatter_splat_points(opx, opy, opz, oval, grid, h, hsc, out_flat):
         flat = jnp.zeros((nb, block), jnp.int32)
         in_grid = jnp.ones((nb, block), bool)
         for d in range(3):
-            p = cell[d][:, None] + offs[None, :, d]
+            p = cell[d][:, None] + offs[None, :, d]  # GLOBAL point index
             coord = mn[d] + p.astype(dtype) * cs
             delta = coord - pxs[d][:, None]
             d2 = d2 + delta * delta
-            in_grid = in_grid & (p >= 0) & (p < npts[d])
-            flat = flat + p * strides[d]
+            p_rel = p - x0 if (slab_npx is not None and d == 0) else p
+            in_grid = in_grid & (p_rel >= 0) & (p_rel < npts[d])
+            flat = flat + p_rel * strides[d]
         w = kernels.cubic_kernel(jnp.sqrt(d2), hj) * oval[:, None]
         dst = jnp.where(in_grid, flat, total_points)
         return out.at[dst.reshape(-1)].add(w.reshape(-1), mode="drop"), None
@@ -273,7 +307,9 @@ def _scatter_splat_points(opx, opy, opz, oval, grid, h, hsc, out_flat):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "compact_support_radius", "hsc", "backend"),
+    static_argnames=(
+        "grid", "compact_support_radius", "hsc", "backend", "slab_npx",
+    ),
 )
 def sweep_global(
     fx, fy, fz, fv,  # (S, Xp, Yp, Zp)
@@ -282,15 +318,22 @@ def sweep_global(
     compact_support_radius: float,
     hsc: int,
     backend: str = "unroll",
+    slab_npx: int | None = None,
+    slab_x0=None,
 ):
     """Level set phi on the global grid points: dense sweep + overflow scatter.
 
     backend: "unroll" (static shifted windows; the TPU path) or "scan"
-    (dynamic slices; compiles fast for host tests).
+    (dynamic slices; compiles fast for host tests). Slab mode (slab_npx +
+    slab_x0): the points are the slab's x-planes; the dense sweep is
+    already relative arithmetic, only the overflow scatter needs the
+    global->slab offset.
     """
     dtype = fx.dtype
     S = fx.shape[0]
     PX, PY, PZ = grid.n_points
+    if slab_npx is not None:
+        PX = slab_npx
     pad = hsc + 1
     cs = jnp.asarray(grid.cell_size, dtype)
     h = jnp.asarray(compact_support_radius, dtype)
@@ -304,7 +347,7 @@ def sweep_global(
             cell_size=grid.cell_size,
             compact_support_radius=float(compact_support_radius),
             hsc=hsc,
-            n_points=grid.n_points,
+            n_points=(PX, PY, PZ),
             interpret=(backend == "pallas_interpret"),
         )
     elif backend == "unroll":
@@ -345,7 +388,7 @@ def sweep_global(
         return acc.reshape(PX, PY, PZ)
     out_flat = _scatter_splat_points(
         opx, opy, opz, oval, grid, compact_support_radius, hsc,
-        acc.reshape(-1),
+        acc.reshape(-1), slab_npx=slab_npx, slab_x0=slab_x0,
     )
     return out_flat.reshape(PX, PY, PZ)
 
@@ -619,6 +662,7 @@ def mc_global_cells(
     triangle_capacity: int,
     encode: bool = False,
     quant_t: bool = False,
+    own_px=None,
 ):
     """Cell-list marching cubes: compact active CELLS first, derive everything
     else from the compact list.
@@ -688,6 +732,12 @@ def mc_global_cells(
         in_rng = (ii, jj, kk)[a] < (PX, PY, PZ)[a] - 1
         em = (base != nbr) & in_rng
         word = word | (em.astype(jnp.int32) << bit)
+    if own_px is not None:
+        # x-slab ownership (ops/slab_sweep.py): points on the slab's far x
+        # plane(s) are owned — and emitted bit-identically — by the next
+        # slab; masking their word keeps the merged point stream duplicate-
+        # free (the subdomain path's canonical-ownership idea on slabs).
+        word = jnp.where(ii < jnp.asarray(own_px, jnp.int32), word, 0)
     word_flat = word.reshape(-1)
     active = word_flat != 0
     # Packed single-scatter compaction: scattering (point id, word) as two

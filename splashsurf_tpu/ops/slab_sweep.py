@@ -1,0 +1,324 @@
+"""Streamed dense global reconstruction over x-slabs.
+
+The r4 sparse-path cost structure (BENCHLOG r4_12, 8M sheet / 348M-cell
+grid): decomposition 16.7 s (pair sort), splat 8.9 s, stitch ~50 s — all
+of it machinery the DENSE global path simply does not have. This module
+runs the dense global pipeline (rasterize_global -> sweep_global ->
+mc_global_cells) over consecutive x-slabs of the global grid, so grids an
+order of magnitude past the resident dense gate (48M cells) keep the dense
+path's cost structure: sort-free slot rasters, one stencil sweep, encoded
+point streams, no pair table, no per-subdomain batching, no stitch.
+
+Correctness structure (mirrors the subdomain path's two load-bearing
+invariants, ref dense_subdomains.rs:476-488, 817-826):
+
+- **Bit-identical shared planes.** Every slab computes cells and fracs
+  against the GLOBAL grid origin (rasterize_global slab mode), so a
+  particle's kernel contribution is bitwise the same no matter which slab
+  evaluates it, and both neighbors of a shared point plane sum the same
+  values in the same static order.
+- **Canonical plane ownership.** Slabs run in descending x; each slab's
+  far plane is OVERWRITTEN with the next slab's first plane (one (PY, PZ)
+  array handoff), and mc_global_cells masks the far plane's words
+  (own_px), so every global point is emitted by exactly one slab and the
+  merged per-slab streams decode through the ordinary global decoder
+  (native/mc_decode.cpp) with zero dedup.
+
+The slab loop itself is ONE compiled program reused for every slab
+(slab_x0 / own_px / plane handoff are traced values, not shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splashsurf_tpu.ops import global_sweep as gs
+from splashsurf_tpu.profiling import profile
+from splashsurf_tpu.uniform_grid import UniformGrid
+
+# caps/overflow plans per (grid n_points, slab width, dtype): planning
+# frames pay an extra counts pass per slab; warm frames run one pass.
+_SLAB_PLAN: dict = {}
+_SLAB_OVER: dict = {}
+
+
+def slab_width_cells(grid: UniformGrid, max_cells: int) -> int:
+    """Slab width in cells so one slab's table+ls stays within the dense
+    budget; at least 8 cells, at most the whole grid."""
+    _, ncy, ncz = grid.n_cells
+    per_x = max(1, ncy * ncz)
+    return int(max(8, min(grid.n_cells[0], max_cells // per_x)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "W", "slots", "hsc", "ocap", "backend", "support"),
+)
+def _slab_ls(
+    positions, values, plane_in, use_plane, x0,
+    grid: UniformGrid, W: int, slots: int, hsc: int, ocap: int,
+    backend: str, support: float,
+):
+    """One slab's level set: raster + sweep + far-plane canonical overwrite.
+
+    Returns (ls (W+1, PY, PZ), plane_out = ls[0] pre-overwrite is ls[0]
+    itself (index 0 is never overwritten), n_over)."""
+    lane_align = 128 if backend.startswith("pallas") else 1
+    out = gs.rasterize_global(
+        positions, values, grid, slots, hsc, ocap,
+        lane_align=lane_align, slab_ncx=W, slab_x0=x0,
+    )
+    fx, fy, fz, fv, opx, opy, opz, oval, n_over = out
+    ls = gs.sweep_global(
+        fx, fy, fz, fv, opx, opy, opz, oval, grid,
+        support, hsc, backend, slab_npx=W + 1, slab_x0=x0,
+    )
+    plane_out = ls[0]
+    ls = ls.at[W].set(jnp.where(use_plane, plane_in, ls[W]))
+    return ls, plane_out, n_over
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "vcap", "tcap", "quant"))
+def _slab_enc(ls, iso, own_px, grid: UniformGrid, vcap: int, tcap: int, quant: bool):
+    enc = gs.mc_global_cells(
+        ls, grid, iso, vcap, tcap, encode=True, quant_t=quant, own_px=own_px
+    )
+    return enc + (jnp.max(ls),)
+
+
+def reconstruct_global_slabbed(
+    positions,
+    values,
+    grid: UniformGrid,
+    compact_support_radius: float,
+    hsc: int,
+    iso: float,
+    slots: int = 2,
+    max_cells: int | None = None,
+):
+    """Dense-global reconstruction streamed over x-slabs.
+
+    Returns (vertices (V, 3), triangles (T, 3)) — the same mesh the
+    unsplit dense path produces, bitwise (tests/test_slab_sweep.py)."""
+    positions = jnp.asarray(positions)
+    dtype = positions.dtype
+    n = positions.shape[0]
+    if max_cells is None:
+        max_cells = gs_dense_gate()
+    W = slab_width_cells(grid, max_cells)
+    ncx, ncy, ncz = grid.n_cells
+    n_slabs = -(-ncx // W)
+    PY, PZ = ncy + 1, ncz + 1
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if (on_tpu and dtype == jnp.float32) else "scan"
+    quant = (
+        dtype == jnp.float32
+        and os.environ.get("SPLASHSURF_TPU_PULL_QUANT", "1") == "1"
+    )
+    iso_j = jnp.asarray(iso, dtype)
+    support = float(compact_support_radius)
+
+    okey = (grid.n_points, W, int(n))
+    ocap = _SLAB_OVER.get(okey, gs._pow2(n // 64, lo=4096))
+    pkey = (grid.n_points, W, str(dtype))
+
+    for _attempt in range(4):
+        caps = _SLAB_PLAN.get(pkey)
+        if caps is None:
+            # planning pass: per-slab counts fix shared static capacities
+            with profile("slab counts"):
+                nv_max = nt_max = 0
+                plane = jnp.zeros((PY, PZ), dtype)
+                use_plane = jnp.asarray(False)
+                overs = []
+                for s in reversed(range(n_slabs)):
+                    ls, plane, n_over = _slab_ls(
+                        positions, values, plane, use_plane,
+                        jnp.asarray(s * W, jnp.int32), grid, W, slots, hsc,
+                        ocap, backend, support,
+                    )
+                    use_plane = jnp.asarray(True)
+                    nv, nt = gs.mc_dense._mc_counts(ls, iso_j)
+                    nv, nt = int(nv), int(nt)
+                    nv_max, nt_max = max(nv_max, nv), max(nt_max, nt)
+                    overs.append(int(n_over))
+                if max(overs) > ocap:
+                    ocap = min(gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n))
+                    _SLAB_OVER[okey] = ocap
+                    continue
+                caps = (
+                    gs._bucket16(max(nv_max, 1) * 5 // 4),
+                    gs._bucket16(max(nt_max, 1) * 5 // 4),
+                )
+                _SLAB_PLAN[pkey] = caps
+        vcap, tcap = caps
+
+        # main slab loop, descending x (plane handoff); everything stays on
+        # device until one batched pull at the end
+        outs = []
+        plane = jnp.zeros((PY, PZ), dtype)
+        use_plane = jnp.asarray(False)
+        with profile("slab sweep+mc"):
+            for s in reversed(range(n_slabs)):
+                x0 = s * W
+                ls, plane, n_over = _slab_ls(
+                    positions, values, plane, use_plane,
+                    jnp.asarray(x0, jnp.int32), grid, W, slots, hsc, ocap,
+                    backend, support,
+                )
+                use_plane = jnp.asarray(True)
+                own_px = W if s < n_slabs - 1 else (ncx - x0 + 1)
+                enc = _slab_enc(
+                    ls, iso_j, jnp.asarray(own_px, jnp.int32), grid,
+                    vcap, tcap, quant,
+                )
+                outs.append(enc + (n_over,))
+        with profile("slab pull"):
+            pulled = jax.device_get(outs)
+        totals = np.array([[int(o[3]), int(o[4]), int(o[5])] for o in pulled])
+        overs = [int(o[7]) for o in pulled]
+        ls_max = max(float(o[6]) for o in pulled)
+        if max(overs) > ocap:
+            ocap = min(gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n))
+            _SLAB_OVER[okey] = ocap
+            continue
+        tv_all = totals[:, 0]
+        tt_all = totals[:, 1]
+        tc_all = totals[:, 2]
+        if tv_all.max(initial=0) > vcap or tt_all.max(initial=0) > tcap:
+            _SLAB_PLAN[pkey] = (
+                gs._bucket16(int(tv_all.max()) * 5 // 4),
+                gs._bucket16(int(tt_all.max()) * 5 // 4),
+            )
+            continue
+        break
+    else:
+        raise RuntimeError("slab reconstruction exceeded retry budget")
+
+    # host merge: per-slab streams -> one ascending global point list.
+    # outs are in DESCENDING slab order; emitted ids ascend within a slab.
+    # The t stream is AXIS-major: each slab's stream is (all x-edge t's,
+    # all y, all z) over its own points, while the merged decode expects
+    # axis-major over the MERGED point list — split each slab's stream at
+    # its per-axis counts and regroup axis-major across slabs.
+    with profile("slab decode"):
+        t_ax: list = [[], [], []]
+        p_parts, w_parts = [], []
+        for rev_i, o in enumerate(pulled):
+            s = n_slabs - 1 - rev_i
+            tvi, tci = int(tv_all[rev_i]), int(tc_all[rev_i])
+            points_l, words_l = gs._unpack_compact(o[1], o[2], tci)
+            t_s = np.asarray(o[0][:tvi])
+            na = [
+                int(((words_l >> (8 + a)) & 1).sum()) for a in range(3)
+            ]
+            assert na[0] + na[1] + na[2] == tvi
+            t_ax[0].append(t_s[: na[0]])
+            t_ax[1].append(t_s[na[0] : na[0] + na[1]])
+            t_ax[2].append(t_s[na[0] + na[1] :])
+            p_parts.append(points_l.astype(np.int64) + s * W * PY * PZ)
+            w_parts.append(words_l)
+        # ascending global order = ascending slab order
+        t_all = (
+            np.concatenate(
+                [seg for a in range(3) for seg in t_ax[a][::-1]]
+            )
+            if p_parts
+            else np.zeros(0)
+        )
+        p_all = (
+            np.concatenate(p_parts[::-1])
+            if p_parts
+            else np.zeros(0, np.int64)
+        )
+        w_all = (
+            np.concatenate(w_parts[::-1])
+            if w_parts
+            else np.zeros(0, np.uint16)
+        )
+        total_v = int(tv_all.sum())
+        total_t = int(tt_all.sum())
+        total_c = int(tc_all.sum())
+        if total_t == 0:
+            gs.check_empty_field(0, ls_max, float(iso))
+            return (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.int32),
+            )
+        if p_all.max(initial=0) < np.iinfo(np.int32).max:
+            p_all = p_all.astype(np.int32)
+        else:
+            raise ValueError(
+                "slabbed grids beyond 2^31 points are not supported yet"
+            )
+        from splashsurf_tpu import native
+
+        t_all = gs._dequant_t(t_all)
+        dec = None
+        if t_all.dtype == np.float32:
+            dec = native.mc_decode(
+                t_all, p_all, w_all, total_v, total_t, total_c,
+                PY, PZ, grid.min, grid.cell_size,
+            )
+        if dec is None:
+            dec = gs._decode_cellwise_mesh(
+                t_all, p_all, w_all, total_v, total_t, total_c, grid
+            )
+    return dec
+
+
+def gs_dense_gate() -> int:
+    from splashsurf_tpu.reconstruction import _global_dense_max_cells
+
+    return _global_dense_max_cells()
+
+
+def reconstruct_surface_slabbed(
+    positions,
+    parameters,
+    grid: UniformGrid,
+    particle_inside_aabb=None,
+    n_valid=None,
+):
+    """Full-frame orchestration for the x-slab streamed dense path:
+    densities -> slab loop -> SurfaceReconstruction (the mid-scale analog
+    of reconstruct_surface_subdomain_grid; single-device)."""
+    from splashsurf_tpu import neighbors
+    from splashsurf_tpu.reconstruction import SurfaceReconstruction
+    from splashsurf_tpu.mesh import TriMesh3d
+
+    positions = jnp.asarray(positions)
+    dtype = positions.dtype
+    support = parameters.compact_support_radius
+    hsc = int(np.ceil(support / grid.cell_size))
+
+    with profile("compute particle densities"):
+        rho = neighbors.compute_particle_densities(
+            positions, support, parameters.particle_rest_mass,
+            n_valid=n_valid,
+        )
+    values = jnp.asarray(parameters.particle_rest_mass, dtype) / rho
+
+    with profile("slab reconstruction"):
+        verts, tris = reconstruct_global_slabbed(
+            positions, values, grid, float(support), hsc,
+            float(parameters.iso_surface_threshold),
+        )
+
+    particle_neighbors = None
+    if parameters.global_neighborhood_list:
+        particle_neighbors = neighbors.neighborhood_search_spatial_hashing_parallel(
+            positions, support
+        )
+    return SurfaceReconstruction(
+        grid=grid,
+        mesh=TriMesh3d(vertices=verts, triangles=np.asarray(tris, np.int32)),
+        particle_densities=rho,
+        particle_neighbors=particle_neighbors,
+        particle_inside_aabb=particle_inside_aabb,
+    )

@@ -323,6 +323,7 @@ def reconstruct_surface(
                 )
 
         decomposition = parameters.spatial_decomposition
+        use_slabbed = False
         if decomposition == SpatialDecomposition.UNIFORM_GRID:
             n_sub = parameters.grid_decomposition.subdomain_num_cubes_per_dim
             if parameters.grid_decomposition.auto_disable:
@@ -339,6 +340,35 @@ def reconstruct_surface(
                     # remains the scalable path for sparse/huge domains
                     # (dense_subdomains.rs rationale).
                     decomposition = SpatialDecomposition.NONE
+                else:
+                    # Mid-scale grids (past the resident dense gate but a
+                    # bounded number of x-slabs): the streamed dense path
+                    # keeps the dense cost structure — no pair sort, no
+                    # per-subdomain machinery, no stitch (r4's 8M sparse
+                    # walls; ops/slab_sweep.py). Single-device only; the
+                    # subdomain path remains for multi-device + huge grids.
+                    import os as _os
+                    import jax as _jax
+
+                    if (
+                        _os.environ.get("SPLASHSURF_TPU_SLAB_DENSE", "1")
+                        == "1"
+                        and len(_jax.devices()) == 1
+                        and int(np.prod(np.asarray(grid.n_points, np.int64)))
+                        < 2**31
+                    ):
+                        from splashsurf_tpu.ops.slab_sweep import (
+                            slab_width_cells,
+                        )
+
+                        W = slab_width_cells(grid, _global_dense_max_cells())
+                        n_slabs = -(-grid.n_cells[0] // W)
+                        max_slabs = int(
+                            _os.environ.get(
+                                "SPLASHSURF_TPU_SLAB_MAX_SLABS", "64"
+                            )
+                        )
+                        use_slabbed = n_slabs <= max_slabs
 
         if decomposition == SpatialDecomposition.UNIFORM_GRID:
             if use_cached_grid:
@@ -346,13 +376,26 @@ def reconstruct_surface(
                 # back to a cold grid rather than trust the speculation
                 _GRID_PLAN.pop(gkey, None)
                 continue
-            from splashsurf_tpu.subdomains import reconstruct_surface_subdomain_grid
+            if use_slabbed:
+                from splashsurf_tpu.ops.slab_sweep import (
+                    reconstruct_surface_slabbed,
+                )
 
-            rec = reconstruct_surface_subdomain_grid(
-                particle_positions, parameters, grid,
-                particle_inside_aabb=inside_aabb,
-                n_valid=n_real if n_padded > n_real else None,
-            )
+                rec = reconstruct_surface_slabbed(
+                    particle_positions, parameters, grid,
+                    particle_inside_aabb=inside_aabb,
+                    n_valid=n_real if n_padded > n_real else None,
+                )
+            else:
+                from splashsurf_tpu.subdomains import (
+                    reconstruct_surface_subdomain_grid,
+                )
+
+                rec = reconstruct_surface_subdomain_grid(
+                    particle_positions, parameters, grid,
+                    particle_inside_aabb=inside_aabb,
+                    n_valid=n_real if n_padded > n_real else None,
+                )
         else:
             if grid.total_cells > 128_000_000:
                 raise ValueError(
