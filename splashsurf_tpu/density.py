@@ -139,7 +139,11 @@ def rasterize_particles(
     over = ~ok
     odest = jnp.where(over, jnp.cumsum(over) - 1, overflow_capacity)
     opos = (
-        jnp.full((overflow_capacity, 3), jnp.inf, positions.dtype)
+        jnp.full(
+            (overflow_capacity, 3),
+            kernels.far_fill(positions.dtype),
+            positions.dtype,
+        )
         .at[odest]
         .set(pos_s, mode="drop")
     )

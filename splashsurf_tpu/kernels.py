@@ -26,6 +26,22 @@ import numpy as np
 _FOUR_PI = 4.0 * math.pi
 
 
+def far_fill(dtype) -> float:
+    """Empty-slot position sentinel: a distance so large the clamped
+    cubic spline evaluates to exactly 0 (the mask-free empty-slot trick).
+
+    f32 keeps +inf (IEEE: 2 - inf clamps to 0, no NaN). f64 must use a
+    large FINITE value: the TPU X64 rewriter emulates f64 as f32 pairs and
+    mishandles IEEE inf — measured on hardware (tools/f64_probe.py, r5):
+    W(inf)*0 evaluates to NaN, which NaN'ed 65% of the f64 densities and
+    silently emptied the r4 f64 mesh. 1e30 squares within f64 range and
+    still clamps the spline to exactly 0.
+    """
+    if np.dtype(dtype) == np.float64:
+        return 1.0e30
+    return float("inf")
+
+
 def cubic_function(q):
     """The normalized cubic spline f(q), support q in [0, 2)."""
     q = jnp.asarray(q)

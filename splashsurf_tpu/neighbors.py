@@ -507,9 +507,10 @@ def compute_particle_densities_binned(
     table_ok = (slot < K) & (sb != _INT32_MAX)
     dest = jnp.where(table_ok, bin_rank * K + slot, u_cap * K)
     tables = []
+    far = jnp.asarray(kernels.far_fill(dtype), dtype)
     for d in range(3):
         tables.append(
-            jnp.full((u_cap * K,), jnp.inf, dtype)
+            jnp.full((u_cap * K,), far, dtype)
             .at[dest]
             .set(cell_list.sorted_positions[d], mode="drop", unique_indices=True)
             .reshape(u_cap, K)
@@ -644,7 +645,10 @@ def _overflow_correction(
     ovalid = osid < n
     osid_c = jnp.where(ovalid, osid, 0)
     opos = [
-        jnp.where(ovalid, cell_list.sorted_positions[d][osid_c], jnp.inf)
+        jnp.where(
+            ovalid, cell_list.sorted_positions[d][osid_c],
+            jnp.asarray(kernels.far_fill(dtype), dtype),
+        )
         for d in range(3)
     ]  # 3 x (OC,)
     oidx = jnp.where(ovalid, cell_list.order[osid_c], n)  # (OC,)
@@ -653,7 +657,7 @@ def _overflow_correction(
     # empty query slots carry +inf positions — clamp their query point to
     # the grid corner so index math stays in range (mask is False anyway)
     opos3 = jnp.stack(opos, axis=-1)  # (OC, 3) — small, layout is fine
-    qpos3 = jnp.where(jnp.isfinite(opos3), opos3, jnp.asarray(grid.min, dtype))
+    qpos3 = jnp.where(ovalid[:, None], opos3, jnp.asarray(grid.min, dtype))
     idx, cmask = gather_candidates(qpos3, grid, cell_list, CAP)
     cmask = cmask & ovalid[:, None]
     pcols = [p[:, d] for d in range(3)]  # flat columns once, then flat gathers
@@ -700,7 +704,7 @@ def _raster_sweep_xla(rasters, LX, Yp, Zp, bs, h):
         jnp.pad(
             r.reshape(slots, LX + 2, Yp * Zp),
             ((0, 0), (0, 0), (0, 2)),
-            constant_values=jnp.inf,
+            constant_values=kernels.far_fill(dtype),
         )
         for r in rasters
     ]
@@ -804,7 +808,7 @@ def compute_particle_densities_raster(
             mn[d] + bcoord[d].astype(dtype) * bs
         )
         rasters.append(
-            jnp.full((total,), jnp.inf, dtype)
+            jnp.full((total,), kernels.far_fill(dtype), dtype)
             .at[dest]
             .set(frac, mode="drop", unique_indices=True)
             .reshape(slots, Xp, Yp, Zp)
@@ -1054,7 +1058,7 @@ def compute_particle_densities_geoslot(
         ]
     else:
         rasters = [
-            jnp.full((total,), jnp.inf, dtype)
+            jnp.full((total,), kernels.far_fill(dtype), dtype)
             .at[rdest]
             .set(frac[d], mode="drop", unique_indices=True)
             .reshape(8, Xp, Yp, Zp)

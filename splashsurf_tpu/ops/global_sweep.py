@@ -225,9 +225,10 @@ def rasterize_global(
         else:
             fz, fv = raster2(frac[2], values, np.inf, 0.0)
     else:
-        fx = raster(frac[0], jnp.inf)
-        fy = raster(frac[1], jnp.inf)
-        fz = raster(frac[2], jnp.inf)
+        far = kernels.far_fill(dtype)  # inf (f32) / finite (f64; X64 emu)
+        fx = raster(frac[0], far)
+        fy = raster(frac[1], far)
+        fz = raster(frac[2], far)
         # with_meta (the cell-raster density path) derives the value raster
         # from the pair sweep instead — skip its 1-per-particle scatter
         fv = None if with_meta else raster(values, 0.0)
@@ -934,6 +935,13 @@ def check_empty_field(total_t: int, ls_max: float, iso: float) -> None:
     the mesh came back empty — the hot path never pays for this)."""
     if total_t > 0:
         return
+    if np.isnan(ls_max):
+        raise EmptyFieldError(
+            "empty mesh and the level set contains NaN — a sentinel or "
+            "kernel evaluation produced non-finite values (the r4 "
+            "f64-on-TPU failure mode: inf arithmetic under the X64 "
+            "emulation; see kernels.far_fill)"
+        )
     if ls_max == 0.0:
         raise EmptyFieldError(
             "empty mesh and the level set is identically zero despite "

@@ -197,7 +197,10 @@ def _overflow_correction_local(
     ovalid = osid < M
     osid_c = jnp.where(ovalid, osid, 0)
     opos = [
-        jnp.where(ovalid, comp[osid_c], jnp.inf)
+        jnp.where(
+            ovalid, comp[osid_c],
+            jnp.asarray(kernels.far_fill(comp.dtype), comp.dtype),
+        )
         for comp in (spx, spy, spz)
     ]
     orow = jnp.where(ovalid, order[osid_c], M)  # receive-buffer rows

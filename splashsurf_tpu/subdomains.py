@@ -374,10 +374,12 @@ def chunk_levelset_raster(
             .reshape(C, slots, R, R, R)
         )
 
-    # empty slots: frac = +inf -> d2 = inf -> W = 0 exactly (no masks)
-    rx = raster(frac[0], jnp.inf)
-    ry = raster(frac[1], jnp.inf)
-    rz = raster(frac[2], jnp.inf)
+    # empty slots: frac = far sentinel -> W = 0 exactly (no masks);
+    # +inf for f32, finite for f64 (the X64 emulation NaNs on inf)
+    far = kernels.far_fill(dtype)
+    rx = raster(frac[0], far)
+    ry = raster(frac[1], far)
+    rz = raster(frac[2], far)
     rv = raster(pval, 0.0)
 
     # Pad by one cell: gather offsets reach [-(hsc+1), hsc] around base cells.
@@ -385,7 +387,7 @@ def chunk_levelset_raster(
         pw = ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1))
         return jnp.pad(a, pw, constant_values=fill)
 
-    rx, ry, rz = _pad(rx, np.inf), _pad(ry, np.inf), _pad(rz, np.inf)
+    rx, ry, rz = _pad(rx, far), _pad(ry, far), _pad(rz, far)
     rv = _pad(rv, 0.0)
 
     offs = density_mod.gather_cell_offsets(hsc) + (m + 1)  # static, host-side

@@ -252,3 +252,46 @@ class TestDebugDiagnostics:
         grid = UniformGrid(min=(0.0, 0.0, 0.0), cell_size=0.5, n_cells=(4, 4, 4))
         msg = check_mesh_consistency(verts, tris, debug=True, grid=grid)
         assert "hole edge" in msg and "cell (" in msg
+
+
+class TestFarFillSentinel:
+    """f64 empty-slot sentinels must be FINITE: the TPU X64 rewriter's
+    float64 emulation mishandles IEEE inf (W(inf)*0 -> NaN, which NaN'ed
+    the r4 f64 densities and silently emptied the mesh — tools/f64_probe
+    r5 bisection)."""
+
+    def test_values(self):
+        import numpy as np
+        from splashsurf_tpu import kernels
+
+        assert kernels.far_fill(np.float32) == float("inf")
+        assert kernels.far_fill(np.float64) == 1.0e30
+        assert kernels.far_fill(jnp.float64) == 1.0e30
+
+    def test_kernel_evaluates_to_exact_zero(self):
+        import numpy as np
+        from splashsurf_tpu import kernels
+
+        for dt in (np.float32, np.float64):
+            far = jnp.asarray(kernels.far_fill(dt), dt)
+            d2 = far * far * 3
+            w = kernels.cubic_kernel(jnp.sqrt(d2), jnp.asarray(0.1, dt))
+            assert float(w) == 0.0
+
+
+class TestEmptyFieldGuard:
+    def test_raises_on_nan_zero_and_crossing(self):
+        import pytest as _pytest
+        from splashsurf_tpu.ops.global_sweep import (
+            EmptyFieldError,
+            check_empty_field,
+        )
+
+        check_empty_field(10, 0.0, 0.6)  # non-empty: never raises
+        check_empty_field(0, 0.3, 0.6)  # genuine empty: 0 < max < iso
+        with _pytest.raises(EmptyFieldError):
+            check_empty_field(0, float("nan"), 0.6)
+        with _pytest.raises(EmptyFieldError):
+            check_empty_field(0, 0.0, 0.6)
+        with _pytest.raises(EmptyFieldError):
+            check_empty_field(0, 0.9, 0.6)

@@ -28,7 +28,12 @@ def stats(name, x):
 
 
 def main():
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    # Pallas density compiles minutes per new (x64-variant) shape over the
+    # tunnel and is irrelevant to the f64 question — probe on the XLA path.
+    os.environ.setdefault("SPLASHSURF_TPU_DENSITY_PALLAS", "0")
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -49,7 +54,10 @@ def main():
     support = params.compact_support_radius
     pts32 = make_dam_break(n, radius)
 
-    for dtype, tag in ((np.float32, "f32"), (np.float64, "f64")):
+    dtypes = ((np.float32, "f32"), (np.float64, "f64"))
+    if "--f64-only" in sys.argv:
+        dtypes = ((np.float64, "f64"),)
+    for dtype, tag in dtypes:
         print(f"== {tag} ==", flush=True)
         pts = jnp.asarray(pts32.astype(dtype))
         p = params if dtype == np.float32 else params.try_convert("float64")
