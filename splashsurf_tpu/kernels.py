@@ -30,16 +30,28 @@ def far_fill(dtype) -> float:
     """Empty-slot position sentinel: a distance so large the clamped
     cubic spline evaluates to exactly 0 (the mask-free empty-slot trick).
 
-    f32 keeps +inf (IEEE: 2 - inf clamps to 0, no NaN). f64 must use a
-    large FINITE value: the TPU X64 rewriter emulates f64 as f32 pairs and
-    mishandles IEEE inf — measured on hardware (tools/f64_probe.py, r5):
-    W(inf)*0 evaluates to NaN, which NaN'ed 65% of the f64 densities and
-    silently emptied the r4 f64 mesh. 1e30 squares within f64 range and
-    still clamps the spline to exactly 0.
+    f32 keeps +inf (native IEEE: W(sqrt(inf)) clamps to 0, no NaN). f64
+    must use a FINITE value whose SQUARE stays within float32 range: the
+    TPU X64 rewriter emulates f64 as f32 pairs (double-float), which has
+    f64-like precision but only f32 DYNAMIC RANGE, and its sqrt(inf) is
+    NaN — measured on hardware (tools/f64_micro.py, r5): inf sentinels
+    NaN'ed 65% of the f64 densities through W(sqrt(d2)) and silently
+    emptied the r4 f64 mesh, and 1e30 still overflowed on squaring.
+    1e15 squares to 1e30 (< 3.4e38 even x3 components) and clamps the
+    spline to exactly 0 for any physical support radius.
     """
     if np.dtype(dtype) == np.float64:
-        return 1.0e30
+        return 1.0e15
     return float("inf")
+
+
+def far_position(dtype) -> float:
+    """Dummy-particle position sentinel (finite for BOTH dtypes: it feeds
+    integer cell math that relies on saturation, not inf). f64 uses the
+    square-safe 1e15 (see far_fill's X64-emulation range note)."""
+    if np.dtype(dtype) == np.float64:
+        return 1.0e15
+    return 1.0e30
 
 
 def cubic_function(q):

@@ -751,18 +751,6 @@ def mc_global_cells(
     BLOCK = 32
     acum, boffs, bsum = cumsum_small_i32_blocks(active, BLOCK)
     total_c = acum[-1]
-    ucdest = jnp.where(active, acum - 1, cap)
-    local = jnp.arange(n_pts, dtype=jnp.int32) & (BLOCK - 1)
-    packed = (
-        jnp.zeros((cap,), jnp.uint16)
-        .at[ucdest]
-        .set(
-            ((local << 11) | word_flat).astype(jnp.uint16),
-            mode="drop",
-            unique_indices=True,
-        )
-        .astype(jnp.int32)
-    )
     nb = boffs.shape[0]
     bdest = jnp.where(bsum > 0, boffs, cap)
     blk_of_slot = (
@@ -771,8 +759,55 @@ def mc_global_cells(
         .set(jnp.arange(nb, dtype=jnp.int32), mode="drop", unique_indices=True)
     )
     blk_of_slot = jax.lax.associative_scan(jnp.maximum, blk_of_slot)
-    words_c = packed & 0x7FF
-    points_c = blk_of_slot * BLOCK + (packed >> 11)
+    import os
+
+    if os.environ.get("SPLASHSURF_TPU_MC_BITMASK", "1") == "1":
+        # Bitmask compaction: the n_pts-row u16 scatter above was ~34 ms at
+        # a 6M grid and scales with GRID points, not surface size — at the
+        # slab-streamed 350M-point scale it alone would cost seconds. Pack
+        # each 32-block's activity into a u32 mask (pure elementwise) and
+        # recover slot -> point via popcount binary search at ACTIVE-slot
+        # scale: 3 cap-row gathers + ~30 VPU ops replace the grid-wide
+        # scatter. Values are identical to the scatter formulation
+        # (fallback below; bit-identity tested).
+        bits = jnp.pad(active, (0, nb * BLOCK - n_pts)).reshape(nb, BLOCK)
+        mask32 = jnp.sum(
+            bits.astype(jnp.uint32)
+            << jnp.arange(BLOCK, dtype=jnp.uint32)[None, :],
+            axis=1,
+            dtype=jnp.uint32,
+        )
+        jj = jnp.arange(cap, dtype=jnp.int32) - boffs[blk_of_slot]
+        cur = mask32[blk_of_slot]
+        bit = jnp.zeros((cap,), jnp.int32)
+        for shift in (16, 8, 4, 2, 1):
+            lowm = jnp.uint32((1 << shift) - 1)
+            c = jax.lax.population_count(cur & lowm).astype(jnp.int32)
+            go = jj >= c
+            jj = jnp.where(go, jj - c, jj)
+            cur = jnp.where(go, cur >> jnp.uint32(shift), cur & lowm)
+            bit = bit + jnp.where(go, shift, 0)
+        points_c = blk_of_slot * BLOCK + bit
+        valid_slot = jnp.arange(cap, dtype=jnp.int32) < total_c
+        words_c = jnp.where(
+            valid_slot, word_flat[jnp.minimum(points_c, n_pts - 1)], 0
+        )
+        packed = jnp.where(valid_slot, (bit << 11) | words_c, 0)
+    else:
+        ucdest = jnp.where(active, acum - 1, cap)
+        local = jnp.arange(n_pts, dtype=jnp.int32) & (BLOCK - 1)
+        packed = (
+            jnp.zeros((cap,), jnp.uint16)
+            .at[ucdest]
+            .set(
+                ((local << 11) | word_flat).astype(jnp.uint16),
+                mode="drop",
+                unique_indices=True,
+            )
+            .astype(jnp.int32)
+        )
+        words_c = packed & 0x7FF
+        points_c = blk_of_slot * BLOCK + (packed >> 11)
 
     # --- vertex stream: one vertex per active origin edge, axis-major -----
     ex = (words_c >> 8) & 1

@@ -127,6 +127,14 @@ def reconstruct_global_slabbed(
     ocap = _SLAB_OVER.get(okey, gs._pow2(n // 64, lo=4096))
     pkey = (grid.n_points, W, str(dtype))
 
+    from splashsurf_tpu import subdomains as sub_mod
+
+    sub_mod.LAST_RUN.clear()
+    sub_mod.LAST_RUN.update(
+        slabbed=True, n_slabs=n_slabs, slab_w=W,
+        slab_cells=W * ncy * ncz, backend=backend,
+    )
+
     for _attempt in range(4):
         caps = _SLAB_PLAN.get(pkey)
         if caps is None:

@@ -1938,7 +1938,8 @@ def reconstruct_surface_subdomain_grid(
 
     # dummy row for padded gathers
     positions_ext = jnp.concatenate(
-        [positions, jnp.full((1, 3), 1e30, dtype)], axis=0
+        [positions, jnp.full((1, 3), kernels.far_position(dtype), dtype)],
+        axis=0
     )
     values_ext = jnp.concatenate([values, jnp.zeros((1,), dtype)])
 

@@ -265,8 +265,8 @@ class TestFarFillSentinel:
         from splashsurf_tpu import kernels
 
         assert kernels.far_fill(np.float32) == float("inf")
-        assert kernels.far_fill(np.float64) == 1.0e30
-        assert kernels.far_fill(jnp.float64) == 1.0e30
+        assert kernels.far_fill(np.float64) == 1.0e15
+        assert kernels.far_fill(jnp.float64) == 1.0e15
 
     def test_kernel_evaluates_to_exact_zero(self):
         import numpy as np

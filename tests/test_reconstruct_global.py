@@ -480,3 +480,50 @@ class TestQuantizedPull:
         v = np.asarray(rec.mesh.vertices)
         assert v.dtype == np.float64
         assert check_mesh_consistency(v, np.asarray(rec.mesh.triangles)) is None
+
+
+class TestMcBitmaskCompaction:
+    def test_bitmask_matches_scatter_bitwise(self, monkeypatch):
+        """The bitmask point-compaction (mask32 + popcount bit-select) must
+        produce the exact streams of the legacy grid-wide u16 scatter —
+        same mesh, bitwise."""
+        from splashsurf_tpu import neighbors
+        from splashsurf_tpu.ops import global_sweep as gs
+        from splashsurf_tpu.reconstruction import grid_for_reconstruction
+
+        rng = np.random.default_rng(0)
+        R = 0.025
+        pts = (
+            np.mgrid[0:20, 0:9, 0:9].reshape(3, -1).T * 2 * R
+            + rng.uniform(-0.2, 0.2, (1620, 3)) * 2 * R
+        ).astype(np.float32)
+        p = st.Parameters.new_relative(R, 4.0, 1.5)
+        grid = grid_for_reconstruction(
+            pts, R, p.compact_support_radius, p.cube_size
+        )
+        support = p.compact_support_radius
+        hsc = int(np.ceil(support / grid.cell_size))
+        rho = neighbors.compute_particle_densities(
+            pts, support, p.particle_rest_mass
+        )
+        import jax.numpy as jnp
+
+        values = jnp.asarray(p.particle_rest_mass, jnp.float32) / rho
+        iso = p.iso_surface_threshold
+
+        def run():
+            gs.mc_global_cells.clear_cache()
+            gs._MC_CAPS.clear()
+            gs._PULL_PLAN_ENC.clear()
+            gs._PULL_PLAN.clear()
+            return gs.reconstruct_global_dense(
+                pts, values, grid, support, hsc, iso
+            )
+
+        monkeypatch.setenv("SPLASHSURF_TPU_MC_BITMASK", "1")
+        v1, t1 = run()
+        monkeypatch.setenv("SPLASHSURF_TPU_MC_BITMASK", "0")
+        v0, t0 = run()
+        assert t1.shape[0] > 0
+        assert np.array_equal(v0, v1)
+        assert np.array_equal(t0, t1)

@@ -84,6 +84,8 @@ def main():
         print(f"  [rasterize {time.perf_counter()-t0:.1f}s]", flush=True)
         fx, fy, fz, fv, opx, opy, opz, oval, n_over = out
         stats("fv (splat table)", fv)
+        stats("fx", fx)
+        stats("opx (overflow fill)", opx)
         print(f"  n_over={int(n_over)}", flush=True)
         t0 = time.perf_counter()
         ls = gs.sweep_global(
@@ -93,6 +95,19 @@ def main():
         ls.block_until_ready()
         print(f"  [sweep {time.perf_counter()-t0:.1f}s]", flush=True)
         stats("ls", ls)
+        ls_h = np.asarray(ls)
+        bad = np.argwhere(np.isnan(ls_h))
+        if len(bad):
+            print(f"  NaN ijk (first 12 of {len(bad)}): {bad[:12].tolist()}",
+                  flush=True)
+            # isolate: dense sweep only (no overflow scatter)
+            ls2 = gs.sweep_global(
+                fx, fy, fz, fv,
+                opx[:0], opy[:0], opz[:0], oval[:0],
+                grid, float(support), hsc, "scan",
+            )
+            n2 = int(np.isnan(np.asarray(ls2)).sum())
+            print(f"  NaNs with overflow scatter OFF: {n2}", flush=True)
         iso = float(p.iso_surface_threshold)
         n_in = int(jnp.sum(ls >= jnp.asarray(iso, ls.dtype)))
         print(f"  points >= iso({iso}): {n_in}", flush=True)
