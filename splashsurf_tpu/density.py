@@ -200,6 +200,11 @@ def splat_level_set_scatter(
             p = cell[d][:, None] + offs[None, :, d]  # (N, b)
             coord = mn[d] + p.astype(dtype) * cs
             delta = coord - pxs[d][:, None]
+            if dtype == jnp.float64:
+                # far-sentinel rows must contribute an exact 0 even if the
+                # emulated f64->s32 convert aliases their cells into the
+                # grid (see ops/global_sweep._scatter_splat_points)
+                delta = jnp.clip(delta, -1e15, 1e15)
             d2 = d2 + delta * delta
             in_grid = in_grid & (p >= 0) & (p < npts[d])
             flat = flat + p * strides[d]

@@ -294,6 +294,17 @@ def _scatter_splat_points(
             p = cell[d][:, None] + offs[None, :, d]  # GLOBAL point index
             coord = mn[d] + p.astype(dtype) * cs
             delta = coord - pxs[d][:, None]
+            if dtype == jnp.float64:
+                # X64-emulation guards (measured, tools/f64_probe r5): the
+                # dummy fill rows' delta^2 overflows the f32-RANGE
+                # double-float representation (whose sqrt(inf) is NaN),
+                # and the emulated f64->s32 convert of their huge cell
+                # coordinates can WRAP INTO the grid — NaN*0 then
+                # scatter-adds NaN at the corner. Clamping delta keeps W
+                # at an exact 0 for dummy rows, so a garbage-aliased
+                # index adds 0.0 harmlessly. f32 (native IEEE +
+                # saturating converts) keeps its exact program.
+                delta = jnp.clip(delta, -1e15, 1e15)
             d2 = d2 + delta * delta
             p_rel = p - x0 if (slab_npx is not None and d == 0) else p
             in_grid = in_grid & (p_rel >= 0) & (p_rel < npts[d])

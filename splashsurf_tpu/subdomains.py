@@ -296,6 +296,11 @@ def chunk_levelset_scatter(
             pl = base_local[d][:, :, None] + offs[None, None, :, d]  # (C,K,b)
             coord = mn[d] + (pl + sub_base[d]).astype(dtype) * cs
             delta = coord - pxs[d][:, :, None]
+            if dtype == jnp.float64:
+                # dummy-row rows must contribute an exact 0 even if the
+                # emulated f64->s32 convert aliases their cells in range
+                # (see ops/global_sweep._scatter_splat_points)
+                delta = jnp.clip(delta, -1e15, 1e15)
             d2 = d2 + delta * delta
             valid = valid & (pl >= 0) & (pl <= n_sub)
             flat = flat + pl * strides[d]
