@@ -868,6 +868,14 @@ def _sweep_dispatch(rasters, slots, LX, Yp, Zp, bs, h, backend, dtype):
         from splashsurf_tpu.ops.splat_pallas import density_sweep_pallas
 
         Wout = -(-W // 128) * 128
+        if Wout > 5376:
+            # Scoped-VMEM gate: the kernel's working set scales with the
+            # lane width (~18.4 KB/lane measured — the 10M dam-break's
+            # Wout=5888 lattice needed 108.2M against the 100M scoped
+            # limit and failed AOT). Wide lattices take the XLA sweep
+            # until the kernel is lane-tiled like pair_sweep_pallas.
+            backend = "xla"
+    if backend.startswith("pallas") and dtype == jnp.float32:
         LANES = -(-(2 * Zp + 2 + Wout) // 128) * 128
         flat = [
             jnp.pad(

@@ -168,23 +168,30 @@ def reconstruct_global_slabbed(
 
         # main slab loop, descending x (plane handoff); everything stays on
         # device until one batched pull at the end
+        sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
         outs = []
         plane = jnp.zeros((PY, PZ), dtype)
         use_plane = jnp.asarray(False)
         with profile("slab sweep+mc"):
             for s in reversed(range(n_slabs)):
                 x0 = s * W
-                ls, plane, n_over = _slab_ls(
-                    positions, values, plane, use_plane,
-                    jnp.asarray(x0, jnp.int32), grid, W, slots, hsc, ocap,
-                    backend, support,
-                )
+                with profile("slab ls"):
+                    ls, plane, n_over = _slab_ls(
+                        positions, values, plane, use_plane,
+                        jnp.asarray(x0, jnp.int32), grid, W, slots, hsc,
+                        ocap, backend, support,
+                    )
+                    if sync:
+                        ls.block_until_ready()
                 use_plane = jnp.asarray(True)
                 own_px = W if s < n_slabs - 1 else (ncx - x0 + 1)
-                enc = _slab_enc(
-                    ls, iso_j, jnp.asarray(own_px, jnp.int32), grid,
-                    vcap, tcap, quant,
-                )
+                with profile("slab mc"):
+                    enc = _slab_enc(
+                        ls, iso_j, jnp.asarray(own_px, jnp.int32), grid,
+                        vcap, tcap, quant,
+                    )
+                    if sync:
+                        jax.block_until_ready(enc)
                 outs.append(enc + (n_over,))
         with profile("slab pull"):
             pulled = jax.device_get(outs)

@@ -1773,7 +1773,6 @@ def _mc_encoded_mesh(
 ) -> TriMesh3d:
     """MC + encoded transfer + host decode for the subdomain path (replaces
     scan-MC + device stitch + raw float pull when SUB_ENCODED_PULL is on)."""
-    import os
 
     g = sd.global_grid
     ns = sd.points_per_dim - 1
@@ -1906,7 +1905,16 @@ def reconstruct_surface_subdomain_grid(
 
     n_dev = len(jax.devices())
     if sharded is None:
-        sharded = n_dev > 1
+        # Auto-shard only when there is enough work to amortize the
+        # collectives: distributing a tiny scene over 8 devices wins
+        # nothing, and on oversubscribed CPU test meshes the per-shard
+        # compute can outlast XLA:CPU's hard 40 s collective-rendezvous
+        # timeout (measured: the 32k-particle dataset-matrix case aborted
+        # the whole process). Explicit sharded=True still forces it.
+        shard_min = int(
+            os.environ.get("SPLASHSURF_TPU_SHARD_MIN_N", "262144")
+        )
+        sharded = n_dev > 1 and n >= shard_min
     dev_mesh = None
     if sharded and n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -1951,14 +1959,13 @@ def reconstruct_surface_subdomain_grid(
     # 2. decomposition into (subdomain, particle) pairs. Ghost duplication
     # is typically ~30-45% (README.md:189 reports 42% for the canyon), so
     # start at 1.5N; the retry loop grows the capacity if a frame exceeds it.
-    import os as _os
 
     spairs = None  # sharded-decompose state (multi-device path)
     prof_decomp = profile("decomposition")
     prof_decomp.__enter__()
     if (
         dev_mesh is not None
-        and _os.environ.get("SPLASHSURF_TPU_SHARD_DECOMP", "1") == "1"
+        and os.environ.get("SPLASHSURF_TPU_SHARD_DECOMP", "1") == "1"
     ):
         # Sharded decomposition: pair expansion + sort run on P("sub")
         # shards (x-slab subdomain ownership); no full-N pair array exists
@@ -2030,7 +2037,6 @@ def reconstruct_surface_subdomain_grid(
     # boundary-shell streaming pipeline (bit-identical output; ~2x splat
     # cost). Single-device only — the sharded path divides ls_all by D and
     # has its own scale headroom.
-    import os
 
     stream_env = os.environ.get("SPLASHSURF_TPU_STREAM", "auto")
     ls_bytes = (B + 1) * (P ** 3) * np.dtype(dtype).itemsize
