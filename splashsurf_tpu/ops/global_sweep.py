@@ -79,10 +79,16 @@ def rasterize_global(
     matter which slab rasterized it — the determinism contract that makes
     neighboring slabs agree exactly on their shared point plane.
     """
-    positions = jnp.asarray(positions)
+    if isinstance(positions, (tuple, list)):
+        # component-array form (the slab path's column buffers): avoids
+        # round-tripping through a (N, 3) stack
+        px = [jnp.asarray(c) for c in positions]
+    else:
+        positions = jnp.asarray(positions)
+        px = [positions[:, d] for d in range(3)]
     values = jnp.asarray(values)
-    dtype = positions.dtype
-    n = positions.shape[0]
+    dtype = px[0].dtype
+    n = px[0].shape[0]
     ncx, ncy, ncz = grid.n_cells
     if slab_ncx is not None:
         ncx = slab_ncx
@@ -109,7 +115,6 @@ def rasterize_global(
 
     cs = jnp.asarray(grid.cell_size, dtype)
     mn = [jnp.asarray(grid.min[d], dtype) for d in range(3)]
-    px = [positions[:, d] for d in range(3)]
     cell = [jnp.floor((px[d] - mn[d]) / cs).astype(jnp.int32) for d in range(3)]
     if slab_ncx is None:
         cx_rel = cell[0]  # x index relative to the table's cell range

@@ -45,6 +45,7 @@ from splashsurf_tpu.uniform_grid import UniformGrid
 # frames pay an extra counts pass per slab; warm frames run one pass.
 _SLAB_PLAN: dict = {}
 _SLAB_OVER: dict = {}
+_SLAB_K: dict = {}  # per-slab particle bucket capacity plans
 
 
 def slab_width_cells(grid: UniformGrid, max_cells: int) -> int:
@@ -57,17 +58,119 @@ def slab_width_cells(grid: UniformGrid, max_cells: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "W", "slots", "hsc", "ocap", "backend", "support"),
+    static_argnames=("grid", "W", "n_slabs", "K", "pad"),
+)
+def _slab_partition(
+    positions, values, grid: UniformGrid, W: int, n_slabs: int, K: int,
+    pad: int,
+):
+    """Bucket particles (and their values) by slab, including the halo
+    bands, into a slab-major (n_slabs*K, 3) buffer.
+
+    The probe (BENCHLOG r5): rasterizing the FULL 8M particles per slab
+    cost 0.68 s raster + 0.83 s overflow PER SLAB. Bucketing costs one
+    pass of per-slab cumsum ranks + one scatter per component and cuts
+    every per-slab row count to slab-share + halo (~N/n_slabs * 1.03).
+
+    Bucket layout per slab: primary particles (ascending index), then
+    left-halo (primaries of slab s-1 whose cells reach into s), then
+    right-halo (from s+1) — all ascending-index within their group. All
+    particles of one CELL share a primary slab, so they stay in the same
+    relative order in EVERY bucket containing them: slot ranks (and hence
+    raster summation order) agree across slabs, which is what makes the
+    shared-plane level sets bit-identical.
+
+    Returns (px, py, pz, vbuf (n_slabs*K,) each, counts (n_slabs,)).
+    Pad rows sit at far_position (dropped by the raster's validity mask).
+    """
+    from splashsurf_tpu import kernels
+
+    dtype = positions.dtype
+    n = positions.shape[0]
+    cs = jnp.asarray(grid.cell_size, dtype)
+    mnx = jnp.asarray(grid.min[0], dtype)
+    cx = jnp.floor((positions[:, 0] - mnx) / cs).astype(jnp.int32)
+    ncx = grid.n_cells[0]
+    in_grid = (cx >= 0) & (cx < ncx)  # dummies/out-of-grid drop entirely
+    sid = jnp.clip(cx // W, 0, n_slabs - 1)
+    local = cx - sid * W
+    total = n_slabs * K
+
+    # per-slab primary counts and ranks via n_slabs cumsums (cheap: pure
+    # elementwise/prefix passes, no scatters)
+    from splashsurf_tpu.ops.prefix import cumsum_small_i32
+
+    def bucket_dest(member, base_counts):
+        """dest slot for each particle under ``member`` (bool (n_slabs, n)
+        python list), stacked after base_counts (per-slab start offsets)."""
+        dest = jnp.full((n,), total, jnp.int32)
+        counts = []
+        for s in range(n_slabs):
+            m = member[s]
+            r = cumsum_small_i32(m)  # MXU blocked prefix
+            counts.append(r[-1])
+            dest = jnp.where(
+                m, s * K + base_counts[s] + r - 1, dest
+            )
+            dest = jnp.where(dest >= (s + 1) * K, total, dest)  # overflow
+        return dest, counts
+
+    prim = [in_grid & (sid == s) for s in range(n_slabs)]
+    zero = jnp.zeros((), jnp.int32)
+    dest_p, cnt_p = bucket_dest(prim, [zero] * n_slabs)
+    # left halo of slab s = primaries of s+1 with local < pad
+    lh = [
+        in_grid & (sid == s + 1) & (local < pad) if s + 1 < n_slabs
+        else jnp.zeros((n,), bool)
+        for s in range(n_slabs)
+    ]
+    dest_l, cnt_l = bucket_dest(lh, cnt_p)
+    # right halo of slab s = primaries of s-1 with local >= W - pad
+    rh = [
+        in_grid & (sid == s - 1) & (local >= W - pad) if s >= 1
+        else jnp.zeros((n,), bool)
+        for s in range(n_slabs)
+    ]
+    base_r = [cnt_p[s] + cnt_l[s] for s in range(n_slabs)]
+    dest_r, cnt_r = bucket_dest(rh, base_r)
+
+    far = jnp.asarray(kernels.far_position(dtype), dtype)
+    # COLUMN buffers: a scatter of (N, 3) rows into a (total, 3) operand
+    # measured 3.8x the cost of three column scatters on this chip (r5
+    # part_probe: 0.68 s vs 0.18 s at 8M rows) — minor-dim-3 updates pay
+    # the 128-lane tiling.
+    cols = [jnp.full((total,), far, dtype) for _ in range(3)]
+    vbuf = jnp.zeros((total,), dtype)
+    pcols = [positions[:, d] for d in range(3)]
+    for dst in (dest_p, dest_l, dest_r):
+        for d in range(3):
+            cols[d] = cols[d].at[dst].set(pcols[d], mode="drop")
+        vbuf = vbuf.at[dst].set(values, mode="drop")
+    counts = jnp.stack(
+        [cnt_p[s] + cnt_l[s] + cnt_r[s] for s in range(n_slabs)]
+    )
+    return cols[0], cols[1], cols[2], vbuf, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "W", "K", "slots", "hsc", "ocap", "backend",
+                     "support"),
 )
 def _slab_ls(
-    positions, values, plane_in, use_plane, x0,
-    grid: UniformGrid, W: int, slots: int, hsc: int, ocap: int,
+    pxb, pyb, pzb, vbuf, slab_idx, plane_in, use_plane, x0,
+    grid: UniformGrid, W: int, K: int, slots: int, hsc: int, ocap: int,
     backend: str, support: float,
 ):
     """One slab's level set: raster + sweep + far-plane canonical overwrite.
 
     Returns (ls (W+1, PY, PZ), plane_out = ls[0] pre-overwrite is ls[0]
     itself (index 0 is never overwritten), n_over)."""
+    start = slab_idx * K
+    positions = tuple(
+        jax.lax.dynamic_slice(b, (start,), (K,)) for b in (pxb, pyb, pzb)
+    )
+    values = jax.lax.dynamic_slice(vbuf, (start,), (K,))
     lane_align = 128 if backend.startswith("pallas") else 1
     out = gs.rasterize_global(
         positions, values, grid, slots, hsc, ocap,
@@ -98,7 +201,7 @@ def reconstruct_global_slabbed(
     compact_support_radius: float,
     hsc: int,
     iso: float,
-    slots: int = 2,
+    slots: int | None = None,
     max_cells: int | None = None,
 ):
     """Dense-global reconstruction streamed over x-slabs.
@@ -108,6 +211,11 @@ def reconstruct_global_slabbed(
     positions = jnp.asarray(positions)
     dtype = positions.dtype
     n = positions.shape[0]
+    if slots is None:
+        # measured (r5 probe, bucketed rows): slots=2 _slab_ls 0.65 s/slab
+        # vs slots=4 1.03 s/slab — the sweep's slots-linear cost outweighs
+        # the sheet's overflow-splat cost once buckets cap ocap at ~32k.
+        slots = int(os.environ.get("SPLASHSURF_TPU_SLAB_SLOTS", "2"))
     if max_cells is None:
         max_cells = gs_dense_gate()
     W = slab_width_cells(grid, max_cells)
@@ -123,9 +231,11 @@ def reconstruct_global_slabbed(
     iso_j = jnp.asarray(iso, dtype)
     support = float(compact_support_radius)
 
-    okey = (grid.n_points, W, int(n))
-    ocap = _SLAB_OVER.get(okey, gs._pow2(n // 64, lo=4096))
+    okey = (grid.n_points, W, int(n), slots)
     pkey = (grid.n_points, W, str(dtype))
+    kkey = (grid.n_points, W, int(n))
+    pad = hsc + 1
+    K = _SLAB_K.get(kkey, gs._bucket16(max(-(-n // n_slabs) * 5 // 4, 4096)))
 
     from splashsurf_tpu import subdomains as sub_mod
 
@@ -135,29 +245,44 @@ def reconstruct_global_slabbed(
         slab_cells=W * ncy * ncz, backend=backend,
     )
 
-    for _attempt in range(4):
+    for _attempt in range(6):
+        # bucket particles by slab (incl. halo bands) — per-slab rasters
+        # then run at slab-share row counts, not full N (probe: full-N cost
+        # 0.68 s raster + 0.83 s overflow PER SLAB at 8M / 8 slabs)
+        with profile("slab partition"):
+            pxb, pyb, pzb, vbuf, counts_d = _slab_partition(
+                positions, values, grid, W, n_slabs, K, pad
+            )
+        ocap_k = _SLAB_OVER.get(okey, gs._pow2(K // 64, lo=4096))
+
         caps = _SLAB_PLAN.get(pkey)
         if caps is None:
             # planning pass: per-slab counts fix shared static capacities
             with profile("slab counts"):
+                cnts = jax.device_get(counts_d)
+                if int(cnts.max()) > K:
+                    K = gs._bucket16(int(cnts.max()) * 5 // 4)
+                    _SLAB_K[kkey] = K
+                    continue
                 nv_max = nt_max = 0
                 plane = jnp.zeros((PY, PZ), dtype)
                 use_plane = jnp.asarray(False)
                 overs = []
                 for s in reversed(range(n_slabs)):
                     ls, plane, n_over = _slab_ls(
-                        positions, values, plane, use_plane,
-                        jnp.asarray(s * W, jnp.int32), grid, W, slots, hsc,
-                        ocap, backend, support,
+                        pxb, pyb, pzb, vbuf, jnp.asarray(s, jnp.int32),
+                        plane, use_plane, jnp.asarray(s * W, jnp.int32),
+                        grid, W, K, slots, hsc, ocap_k, backend, support,
                     )
                     use_plane = jnp.asarray(True)
                     nv, nt = gs.mc_dense._mc_counts(ls, iso_j)
                     nv, nt = int(nv), int(nt)
                     nv_max, nt_max = max(nv_max, nv), max(nt_max, nt)
                     overs.append(int(n_over))
-                if max(overs) > ocap:
-                    ocap = min(gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n))
-                    _SLAB_OVER[okey] = ocap
+                if max(overs) > ocap_k:
+                    _SLAB_OVER[okey] = min(
+                        gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n)
+                    )
                     continue
                 caps = (
                     gs._bucket16(max(nv_max, 1) * 5 // 4),
@@ -177,9 +302,9 @@ def reconstruct_global_slabbed(
                 x0 = s * W
                 with profile("slab ls"):
                     ls, plane, n_over = _slab_ls(
-                        positions, values, plane, use_plane,
-                        jnp.asarray(x0, jnp.int32), grid, W, slots, hsc,
-                        ocap, backend, support,
+                        pxb, pyb, pzb, vbuf, jnp.asarray(s, jnp.int32),
+                        plane, use_plane, jnp.asarray(x0, jnp.int32),
+                        grid, W, K, slots, hsc, ocap_k, backend, support,
                     )
                     if sync:
                         ls.block_until_ready()
@@ -194,13 +319,20 @@ def reconstruct_global_slabbed(
                         jax.block_until_ready(enc)
                 outs.append(enc + (n_over,))
         with profile("slab pull"):
-            pulled = jax.device_get(outs)
+            pulled = jax.device_get(outs + [counts_d])
+        cnts = pulled[-1]
+        pulled = pulled[:-1]
+        if int(cnts.max()) > K:
+            K = gs._bucket16(int(cnts.max()) * 5 // 4)
+            _SLAB_K[kkey] = K
+            continue
         totals = np.array([[int(o[3]), int(o[4]), int(o[5])] for o in pulled])
         overs = [int(o[7]) for o in pulled]
         ls_max = max(float(o[6]) for o in pulled)
-        if max(overs) > ocap:
-            ocap = min(gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n))
-            _SLAB_OVER[okey] = ocap
+        if max(overs) > ocap_k:
+            _SLAB_OVER[okey] = min(
+                gs._pow2(max(overs) * 2, lo=4096), gs._pow2(n)
+            )
             continue
         tv_all = totals[:, 0]
         tt_all = totals[:, 1]

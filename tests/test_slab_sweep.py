@@ -40,6 +40,10 @@ def _scene(seed=0, shape=(24, 10, 10), jitter=0.2, extra=None):
 
 
 def _both(pts, n_slabs_target=4):
+    """Slabbed vs unsplit dense, both at slots=2: the bitwise contract
+    holds at EQUAL slots (the raster sum order per cell depends on the
+    slot count once cells overflow; production slabs default to slots=4
+    for the overflow-splat economics, still watertight by ownership)."""
     p = st.Parameters.new_relative(R, 4.0, 1.5)
     grid = grid_for_reconstruction(
         pts, R, p.compact_support_radius, p.cube_size
@@ -56,7 +60,8 @@ def _both(pts, n_slabs_target=4):
     )
     maxc = grid.total_cells // n_slabs_target + 1
     v1, t1 = reconstruct_global_slabbed(
-        pts, values, grid, float(support), hsc, float(iso), max_cells=maxc
+        pts, values, grid, float(support), hsc, float(iso), slots=2,
+        max_cells=maxc,
     )
     return (v0, t0), (v1, t1), grid
 
@@ -95,6 +100,37 @@ class TestSlabBitIdentity:
         gs._PULL_PLAN_ENC.clear()
         (v0, t0), (v1, t1), _ = _both(_scene(seed=4, shape=(20, 8, 8)))
         assert np.array_equal(v0, v1) and np.array_equal(t0, t1)
+
+    def test_production_slots_watertight(self):
+        """slots=4 (the production slab default) changes per-cell sum
+        order vs slots=2 — still the same surface to float tolerance and
+        watertight by construction (ownership + plane handoff)."""
+        from splashsurf_tpu import neighbors as nb
+
+        pts = _scene(seed=7)
+        p = st.Parameters.new_relative(R, 4.0, 1.5)
+        grid = grid_for_reconstruction(
+            pts, R, p.compact_support_radius, p.cube_size
+        )
+        support = p.compact_support_radius
+        hsc = int(np.ceil(support / grid.cell_size))
+        rho = nb.compute_particle_densities(
+            pts, support, p.particle_rest_mass
+        )
+        values = jnp.asarray(p.particle_rest_mass, jnp.float32) / rho
+        iso = p.iso_surface_threshold
+        maxc = grid.total_cells // 4 + 1
+        v4, t4 = reconstruct_global_slabbed(
+            pts, values, grid, float(support), hsc, float(iso), slots=4,
+            max_cells=maxc,
+        )
+        assert t4.shape[0] > 0
+        assert check_mesh_consistency(v4, t4) is None
+        v2, t2 = reconstruct_global_slabbed(
+            pts, values, grid, float(support), hsc, float(iso), slots=2,
+            max_cells=maxc,
+        )
+        assert abs(t4.shape[0] - t2.shape[0]) <= max(8, t2.shape[0] // 500)
 
 
 class TestSlabRouting:
