@@ -109,6 +109,13 @@ def load():
             i8p, i8p,  # edge_axis, edge_base
             f32p, i32p,  # verts_out, tris_out
         ]
+        lib.unpack_compact.restype = ctypes.c_int64
+        lib.unpack_compact.argtypes = [
+            u16p, ctypes.c_int64,  # packed, total_c
+            u8p, ctypes.c_int64,  # bsum, n_blocks
+            ctypes.c_int64,  # point_offset
+            i32p, u16p,  # points_out, words_out
+        ]
         _lib = lib
         return _lib
 
@@ -188,6 +195,24 @@ def mc_decode_sub(t, packed, run_counts, run_base, total_v: int, total_t: int,
             f"native mc_decode_sub inconsistency: wrote {n} of {total_t} triangles"
         )
     return verts[:total_v], tris[:total_t]
+
+
+def unpack_compact(packed, bsum, total_c: int, point_offset: int = 0):
+    """Native inverse of the packed point compaction (points, words).
+    Returns None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(np.asarray(packed)[:total_c], np.uint16)
+    bsum = np.ascontiguousarray(np.asarray(bsum), np.uint8)
+    points = np.empty(max(total_c, 1), np.int32)
+    words = np.empty(max(total_c, 1), np.uint16)
+    r = lib.unpack_compact(
+        packed, total_c, bsum, bsum.shape[0], point_offset, points, words
+    )
+    if r != 0:
+        raise RuntimeError("native unpack_compact inconsistency")
+    return points[:total_c], words[:total_c]
 
 
 def available() -> bool:

@@ -240,4 +240,31 @@ int64_t mc_decode_sub(
   return to;
 }
 
+// Host inverse of the packed point compaction (ops/global_sweep.py
+// _unpack_compact): packed u16 slots hold (local<<11 | word) with local
+// the point's offset inside its 32-wide block; bsum holds per-block
+// active counts. Rebuilds ascending flat point ids (+ a constant offset,
+// for the slab path's global merge) and 11-bit words. The numpy
+// formulation (np.repeat + casts over ~12M slots at the 8M sparse bench)
+// was ~1.5 s of the host decode wall; this is one linear pass.
+// Returns 0, or -1 when the block counts disagree with total_c.
+int64_t unpack_compact(
+    const uint16_t* packed, int64_t total_c,
+    const uint8_t* bsum, int64_t n_blocks,
+    int64_t point_offset,
+    int32_t* points_out, uint16_t* words_out) {
+  int64_t slot = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t cnt = bsum[b];
+    if (slot + cnt > total_c) return -1;
+    const int64_t base = b * 32 + point_offset;
+    for (int64_t k = 0; k < cnt; ++k, ++slot) {
+      const uint16_t pk = packed[slot];
+      points_out[slot] = (int32_t)(base + (pk >> 11));
+      words_out[slot] = (uint16_t)(pk & 0x7FF);
+    }
+  }
+  return slot == total_c ? 0 : -1;
+}
+
 }  // extern "C"

@@ -354,12 +354,20 @@ def reconstruct_global_slabbed(
     # axis-major over the MERGED point list — split each slab's stream at
     # its per-axis counts and regroup axis-major across slabs.
     with profile("slab decode"):
+        from splashsurf_tpu import native
+
         t_ax: list = [[], [], []]
         p_parts, w_parts = [], []
         for rev_i, o in enumerate(pulled):
             s = n_slabs - 1 - rev_i
             tvi, tci = int(tv_all[rev_i]), int(tc_all[rev_i])
-            points_l, words_l = gs._unpack_compact(o[1], o[2], tci)
+            off = s * W * PY * PZ
+            res = native.unpack_compact(o[1], o[2], tci, point_offset=off)
+            if res is not None:
+                points_l, words_l = res
+            else:
+                points_l, words_l = gs._unpack_compact(o[1], o[2], tci)
+                points_l = (points_l.astype(np.int64) + off).astype(np.int64)
             t_s = np.asarray(o[0][:tvi])
             na = [
                 int(((words_l >> (8 + a)) & 1).sum()) for a in range(3)
@@ -368,7 +376,7 @@ def reconstruct_global_slabbed(
             t_ax[0].append(t_s[: na[0]])
             t_ax[1].append(t_s[na[0] : na[0] + na[1]])
             t_ax[2].append(t_s[na[0] + na[1] :])
-            p_parts.append(points_l.astype(np.int64) + s * W * PY * PZ)
+            p_parts.append(points_l)
             w_parts.append(words_l)
         # ascending global order = ascending slab order
         t_all = (

@@ -186,12 +186,17 @@ def _bucket_grid(grid: UniformGrid) -> UniformGrid:
 def _global_dense_max_cells() -> int:
     """Largest grid (in cells) routed to the dense global pipeline.
 
-    ~40 bytes/cell peak (slot rasters + level set + MC masks); the default
-    48M cells ≈ 2 GB comfortably fits a single v5e/v5p chip's HBM.
+    ~40 bytes/cell peak (slot rasters + level set + MC masks); 160M cells
+    ≈ 6.4 GB fits a 16 GB v5e with headroom. Raised from 48M in r5: the
+    reference-headline 13.35M dam-break (127M cells) measured 3.32 s
+    resident vs 3.66 s through the x-slab route (BENCHLOG r5_07); the
+    slab path now starts where residency genuinely ends.
     """
     import os
 
-    return int(os.environ.get("SPLASHSURF_TPU_GLOBAL_DENSE_MAX_CELLS", 48_000_000))
+    return int(
+        os.environ.get("SPLASHSURF_TPU_GLOBAL_DENSE_MAX_CELLS", 160_000_000)
+    )
 
 
 def reconstruct_surface(

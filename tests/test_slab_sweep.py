@@ -40,10 +40,9 @@ def _scene(seed=0, shape=(24, 10, 10), jitter=0.2, extra=None):
 
 
 def _both(pts, n_slabs_target=4):
-    """Slabbed vs unsplit dense, both at slots=2: the bitwise contract
-    holds at EQUAL slots (the raster sum order per cell depends on the
-    slot count once cells overflow; production slabs default to slots=4
-    for the overflow-splat economics, still watertight by ownership)."""
+    """Slabbed vs unsplit dense, both at slots=2 (the production slab
+    default): the bitwise contract holds at EQUAL slots — the raster sum
+    order per cell depends on the slot count once cells overflow."""
     p = st.Parameters.new_relative(R, 4.0, 1.5)
     grid = grid_for_reconstruction(
         pts, R, p.compact_support_radius, p.cube_size
@@ -102,9 +101,9 @@ class TestSlabBitIdentity:
         assert np.array_equal(v0, v1) and np.array_equal(t0, t1)
 
     def test_production_slots_watertight(self):
-        """slots=4 (the production slab default) changes per-cell sum
-        order vs slots=2 — still the same surface to float tolerance and
-        watertight by construction (ownership + plane handoff)."""
+        """slots=4 (tunable via SPLASHSURF_TPU_SLAB_SLOTS) changes
+        per-cell sum order vs slots=2 — still the same surface to float
+        tolerance and watertight by construction (ownership + handoff)."""
         from splashsurf_tpu import neighbors as nb
 
         pts = _scene(seed=7)
@@ -169,3 +168,37 @@ class TestSlabRouting:
         assert w == grid.n_cells[0]  # budget covers the whole grid
         w2 = slab_width_cells(grid, grid.n_cells[1] * grid.n_cells[2] * 9)
         assert 8 <= w2 <= 9
+
+
+class TestNativeUnpack:
+    def test_matches_numpy(self):
+        from splashsurf_tpu import native
+        from splashsurf_tpu.ops import global_sweep as gs
+
+        if not native.available():
+            pytest.skip("native unavailable")
+        rng = np.random.default_rng(3)
+        bsum = rng.integers(0, 33, 400).astype(np.uint8)
+        total_c = int(bsum.sum())
+        packed = []
+        for c in bsum:
+            locs = np.sort(rng.choice(32, int(c), replace=False))
+            for loc in locs:
+                packed.append((int(loc) << 11) | int(rng.integers(1, 0x7FF)))
+        packed = np.array(packed, np.uint16)
+        p_np, w_np = gs._unpack_compact(packed, bsum, total_c)
+        p_c, w_c = native.unpack_compact(packed, bsum, total_c)
+        assert np.array_equal(p_np, p_c)
+        assert np.array_equal(w_np.astype(np.uint16), w_c)
+        p_o, _ = native.unpack_compact(packed, bsum, total_c, point_offset=7777)
+        assert np.array_equal(p_np + 7777, p_o)
+
+    def test_inconsistent_counts_raise(self):
+        from splashsurf_tpu import native
+
+        if not native.available():
+            pytest.skip("native unavailable")
+        with pytest.raises(RuntimeError):
+            native.unpack_compact(
+                np.zeros(2, np.uint16), np.array([1], np.uint8), 2
+            )
