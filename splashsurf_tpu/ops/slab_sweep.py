@@ -428,9 +428,16 @@ def reconstruct_global_slabbed(
 
 
 def gs_dense_gate() -> int:
-    from splashsurf_tpu.reconstruction import _global_dense_max_cells
+    """Per-SLAB cell budget (slab width = budget / (ncy*ncz)).
 
-    return _global_dense_max_cells()
+    Deliberately decoupled from the residency gate (160M cells): every
+    r5 slab measurement (probes + the 0.293 Mp/s sparse record) ran at
+    the 48M-cell slab shape, and one slab's tables+ls+MC temporaries at
+    48M cells stay ~2 GB while the loop keeps two slabs' worth alive
+    (plane handoff + enc outputs in flight)."""
+    return int(
+        os.environ.get("SPLASHSURF_TPU_SLAB_CELLS_BUDGET", 48_000_000)
+    )
 
 
 def reconstruct_surface_slabbed(

@@ -363,10 +363,11 @@ def reconstruct_surface(
                         < 2**31
                     ):
                         from splashsurf_tpu.ops.slab_sweep import (
+                            gs_dense_gate,
                             slab_width_cells,
                         )
 
-                        W = slab_width_cells(grid, _global_dense_max_cells())
+                        W = slab_width_cells(grid, gs_dense_gate())
                         n_slabs = -(-grid.n_cells[0] // W)
                         max_slabs = int(
                             _os.environ.get(
