@@ -294,6 +294,18 @@ def reconstruct_global_slabbed(
         # main slab loop, descending x (plane handoff); everything stays on
         # device until one batched pull at the end
         sync = os.environ.get("SPLASHSURF_TPU_SYNC_PROFILE", "0") == "1"
+        trace = os.environ.get("SPLASHSURF_TPU_SLAB_TRACE", "0") == "1"
+        if trace:
+            import time as _time
+
+            _tt0 = _time.perf_counter()
+
+            def _tr(msg):
+                print(f"    [slab {_time.perf_counter()-_tt0:7.3f}s] {msg}",
+                      flush=True)
+        else:
+            def _tr(msg):
+                pass
         outs = []
         plane = jnp.zeros((PY, PZ), dtype)
         use_plane = jnp.asarray(False)
@@ -318,8 +330,11 @@ def reconstruct_global_slabbed(
                     if sync:
                         jax.block_until_ready(enc)
                 outs.append(enc + (n_over,))
+                _tr(f"slab {s} dispatched")
+        _tr("loop dispatched; pulling")
         with profile("slab pull"):
             pulled = jax.device_get(outs + [counts_d])
+        _tr("pulled")
         cnts = pulled[-1]
         pulled = pulled[:-1]
         if int(cnts.max()) > K:
@@ -354,6 +369,9 @@ def reconstruct_global_slabbed(
     # axis-major over the MERGED point list — split each slab's stream at
     # its per-axis counts and regroup axis-major across slabs.
     with profile("slab decode"):
+        import time as _time
+
+        _td0 = _time.perf_counter()
         from splashsurf_tpu import native
 
         t_ax: list = [[], [], []]
@@ -424,6 +442,8 @@ def reconstruct_global_slabbed(
             dec = gs._decode_cellwise_mesh(
                 t_all, p_all, w_all, total_v, total_t, total_c, grid
             )
+    if os.environ.get("SPLASHSURF_TPU_SLAB_TRACE", "0") == "1":
+        print(f"    [slab decode {_time.perf_counter()-_td0:.3f}s]", flush=True)
     return dec
 
 
